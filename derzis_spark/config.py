@@ -1,0 +1,82 @@
+"""Crawl-run configuration.
+
+Mirrors the reference's StepClass / config defaults
+(reference: models/src/Process/aux-classes.ts:73-137,
+config/src/index.ts:44-47,62-76) re-expressed for a round-synchronous
+engine: wall-clock politeness becomes a simulated round clock
+(SURVEY.md §7.0), worker capacities collapse into per-round budgets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+USER_AGENT = "derzis-spark"
+
+#: predicates always allowed regardless of predicate limitations
+#: (reference: models/src/Path/TraversalPath.ts — rdfs:label/comment exempt)
+LABEL_PREDICATES = (
+    "http://www.w3.org/2000/01/rdf-schema#label",
+    "http://www.w3.org/2000/01/rdf-schema#comment",
+)
+
+
+@dataclass(frozen=True)
+class PredLimitation:
+    """Predicate allow/deny rule (reference: aux-classes.ts:54-68).
+
+    ``lims`` is a subset of
+    {require-past, disallow-past, require-future, disallow-future}.
+    ``predicate`` is matched per process-utils.ts:1-34: a ``/re/`` regex,
+    a URL prefix, or a substring.
+    """
+
+    predicate: str
+    lims: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    #: max number of (non-blank) nodes on a path
+    #: (reference default 2, config/src/index.ts:44-47)
+    max_path_length: int = 2
+    #: max number of *distinct* predicates on a path (reference default 1)
+    max_path_props: int = 1
+    #: politeness: default delay in *rounds* between crawls of one domain
+    #: (reference: 1 s default, config/src/index.ts:76; round clock per
+    #: SURVEY.md §7.0 — 1 round ≡ 1 second of simulated time)
+    default_crawl_delay: int = 1
+    #: per-round per-domain resource budget
+    #: (reference: resourcesPerDomain, config/src/index.ts:62-74)
+    resources_per_domain: int = 1
+    #: cap on domains scheduled per round (None = all eligible;
+    #: reference analog: aggregate worker capacity)
+    round_domain_limit: int | None = None
+    #: allow blank-node objects (reference default false, config/src/index.ts:48)
+    allow_blank_nodes: bool = False
+    #: predicate limitations (reference: StepClass.predLimitations)
+    pred_limitations: tuple[PredLimitation, ...] = ()
+    #: follow-direction filter using predicate branch factors
+    #: (reference: common/src/lib/direction-ok.ts:15-33)
+    follow_direction: bool = False
+    #: branch-factor neutral zone (reference: config/src/index.ts:25-32)
+    bf_neutral_low: float = 0.83
+    bf_neutral_high: float = 1.2
+    #: traversal | endpoint (reference: config/src/index.ts:23)
+    path_type: str = "traversal"
+    #: safety cap on rounds
+    max_rounds: int = 1000
+    #: use the Bloom-filter pre-pass for the seen-set anti-join
+    use_bloom: bool = True
+    #: expected seen-set capacity for sizing the Bloom filter
+    bloom_capacity: int = 1_000_000
+    bloom_fpp: float = 0.01
+    user_agent: str = USER_AGENT
+
+    def __post_init__(self) -> None:
+        if self.path_type not in ("traversal", "endpoint"):
+            raise ValueError(f"bad path_type: {self.path_type}")
+        object.__setattr__(
+            self, "pred_limitations", tuple(self.pred_limitations)
+        )

@@ -1,0 +1,479 @@
+"""Single-threaded Python oracle: the canonical round-synchronous
+crawl semantics (the golden-trace generator for the exact-match tests).
+
+This is a faithful round-model restatement of the reference crawler's
+behavior (SURVEY.md §7.0): the reference's event-driven manager/worker
+loop exists to approximate exactly this determinism under concurrency,
+so "exact crawl ordering" is defined at round granularity:
+
+- priority order  = (path length ASC, created_round ASC, seq ASC)
+  (reference sort: nodes.count, createdAt, _id —
+  models/src/Process/process-paths.ts:675-678)
+- politeness      = simulated round clock: domain admitted in round r
+  iff next_allowed ≤ r; after an access, next_allowed = r + delay
+  (reference: crawl.nextAllowed gate models/src/Domain.ts:326-327,
+  nextAllowed = endTime + delay, Domain.ts:949-972)
+- two-phase domains: unvisited domains get a robots check before any
+  crawl (reference: getPathsForRobotsChecking vs getPathsForDomainCrawl,
+  process-paths.ts:376-508 / 560-699)
+- per-domain budget = resources_per_domain distinct head URLs per round
+  (reference: config resourcesPerDomain, config/src/index.ts:62-74)
+- extension        = one new path per (predicate, new-head) per parent,
+  cycle/self-loop/bounds/predicate-limit/direction filters
+  (models/src/Path/TraversalPath.ts:219-399, 408-449, 539-545)
+- within-round cascade: a new path whose head is already fetched is
+  extended immediately against the global triple store (reference:
+  extendPaths runs against pre-existing triples,
+  models/src/Process/Process.ts:412-493)
+
+The Spark engine (`derzis_spark.engine`) must reproduce the trace,
+seen-set, triple-set, and final frontier of this oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from derzis_spark.config import CrawlConfig, LABEL_PREDICATES
+from derzis_spark.functions.core import (
+    Triple,
+    canonicalize_url,
+    extract_ntriples_block,
+    extract_text,
+    filter_quads,
+    is_blank_node_id,
+    matches_predicate_pattern,
+    parse_ntriples,
+    robots_allows,
+    robots_crawl_delay,
+    url_origin,
+)
+
+
+@dataclass
+class Path:
+    seed: str
+    head_url: str | None      # None for literal heads
+    head_kind: str            # url | literal
+    head_key: str             # head_url or literal object_key
+    nodes: tuple[str, ...]
+    predicates: tuple[str, ...]
+    status: str               # active | deleted
+    created_round: int
+    seq: int
+    triple_keys: frozenset = frozenset()
+
+    @property
+    def length(self) -> int:
+        """Non-blank node count (models/src/Path/TraversalPath.ts:43-44)."""
+        return sum(1 for n in self.nodes if not is_blank_node_id(n))
+
+    def priority(self) -> tuple:
+        return (self.length, self.created_round, self.seq)
+
+
+@dataclass
+class Domain:
+    origin: str
+    status: str = "unvisited"   # unvisited | ready | error
+    robots_status: str | None = None
+    robots_txt: str = ""
+    crawl_delay: int = 1
+    next_allowed: int = 0
+
+
+@dataclass
+class TraceEntry:
+    round: int
+    seq: int
+    url: str
+    origin: str
+    status: str  # done | error:<type>
+
+
+@dataclass
+class CrawlResult:
+    trace: list[TraceEntry]
+    resources: dict        # url -> {"origin", "status"}
+    domains: dict          # origin -> Domain
+    triples: dict          # key -> {"triple": Triple, "sources": set}
+    paths: list            # all Path objects (active + deleted)
+    proc_triples: set      # triple keys that extended a path
+    rounds: int
+
+
+def triple_key(t: Triple) -> tuple:
+    return (t.subject, t.predicate, t.object_kind, t.object_value,
+            t.object_datatype or "", t.object_language or "")
+
+
+class Oracle:
+    def __init__(self, pages: dict, robots: dict, seeds: list[str],
+                 config: CrawlConfig | None = None):
+        """pages: url -> (html_bytes, text, lang);
+        robots: origin -> (status, robots_txt); seeds: url list."""
+        self.cfg = config or CrawlConfig()
+        self.pages = pages
+        self.robots = robots
+        self.trace: list[TraceEntry] = []
+        self.resources: dict[str, dict] = {}
+        self.domains: dict[str, Domain] = {}
+        self.triples: dict[tuple, dict] = {}
+        self.paths: list[Path] = []
+        self.proc_triples: set[tuple] = set()
+        self._seq = 0
+
+        # seed bootstrap (models/src/Resource.ts:306-331,339-507)
+        seen: set[str] = set()
+        for raw in seeds:
+            url = canonicalize_url(raw)
+            if url is None or url in seen:
+                continue
+            seen.add(url)
+            self._add_resource(url)
+            self.paths.append(Path(
+                seed=url, head_url=url, head_kind="url", head_key=url,
+                nodes=(url,), predicates=(), status="active",
+                created_round=0, seq=self._next_seq(),
+            ))
+
+    # ------------------------------------------------------------------
+    def _next_seq(self) -> int:
+        s = self._seq
+        self._seq += 1
+        return s
+
+    def _add_resource(self, url: str) -> None:
+        if url in self.resources:
+            return
+        origin = url_origin(url)
+        self.resources[url] = {"origin": origin, "status": "unvisited"}
+        if origin not in self.domains:
+            self.domains[origin] = Domain(
+                origin=origin, crawl_delay=self.cfg.default_crawl_delay)
+
+    # ------------------------------------------------------------------
+    # eligibility (SURVEY.md §2.2 frontier filters)
+    # ------------------------------------------------------------------
+    def _path_base_eligible(self, p: Path) -> bool:
+        return (
+            p.status == "active"
+            and p.head_kind == "url"
+            and self.resources.get(p.head_url, {}).get("status") == "unvisited"
+            and p.length < self.cfg.max_path_length
+            and len(p.predicates) <= self.cfg.max_path_props
+        )
+
+    def _robots_candidates(self) -> list[str]:
+        """Unvisited domains with ≥1 eligible path, by best path priority."""
+        best: dict[str, tuple] = {}
+        for p in self.paths:
+            if not self._path_base_eligible(p):
+                continue
+            origin = self.resources[p.head_url]["origin"]
+            d = self.domains[origin]
+            if d.status != "unvisited":
+                continue
+            pr = p.priority()
+            if origin not in best or pr < best[origin]:
+                best[origin] = pr
+        return [o for o, _ in sorted(best.items(), key=lambda kv: (kv[1], kv[0]))]
+
+    def _crawl_schedule(self, rnd: int) -> list[tuple[str, str]]:
+        """Scheduled (url, origin) for round, in global priority order."""
+        best: dict[str, tuple] = {}
+        url_origin_map: dict[str, str] = {}
+        for p in self.paths:
+            if not self._path_base_eligible(p):
+                continue
+            origin = self.resources[p.head_url]["origin"]
+            d = self.domains[origin]
+            if d.status != "ready" or d.next_allowed > rnd:
+                continue
+            pr = p.priority()
+            if p.head_url not in best or pr < best[p.head_url]:
+                best[p.head_url] = pr
+                url_origin_map[p.head_url] = origin
+        # per-domain top-k (row_number over (priority, url) per origin)
+        by_domain: dict[str, list] = {}
+        for url, pr in best.items():
+            by_domain.setdefault(url_origin_map[url], []).append((pr, url))
+        chosen: list[tuple[tuple, str, str]] = []
+        for origin, items in by_domain.items():
+            items.sort()
+            for pr, url in items[: self.cfg.resources_per_domain]:
+                chosen.append((pr, url, origin))
+        chosen.sort()
+        if self.cfg.round_domain_limit is not None:
+            kept_domains: list[str] = []
+            for _, _, origin in chosen:
+                if origin not in kept_domains:
+                    kept_domains.append(origin)
+            allowed = set(kept_domains[: self.cfg.round_domain_limit])
+            chosen = [c for c in chosen if c[2] in allowed]
+        return [(url, origin) for _, url, origin in chosen]
+
+    # ------------------------------------------------------------------
+    # predicate limitations (genTraversalPathQuery semantics,
+    # models/src/Process/process-paths.ts:791-866; per-triple check
+    # models/src/Path/TraversalPath.ts:451-537) — label preds exempt
+    # ------------------------------------------------------------------
+    def _pred_allowed(self, parent: Path, predicate: str) -> bool:
+        if predicate in LABEL_PREDICATES:
+            return True
+        lims = self.cfg.pred_limitations
+        if not lims:
+            return True
+        req_future = [l.predicate for l in lims if "require-future" in l.lims]
+        dis_future = [l.predicate for l in lims if "disallow-future" in l.lims]
+        req_past = [l.predicate for l in lims if "require-past" in l.lims]
+        dis_past = [l.predicate for l in lims if "disallow-past" in l.lims]
+        if any(matches_predicate_pattern(pat, predicate) for pat in dis_future):
+            return False
+        if req_future and not any(
+            matches_predicate_pattern(pat, predicate) for pat in req_future
+        ):
+            return False
+        past = [q for q in parent.predicates if q not in LABEL_PREDICATES]
+        if dis_past and any(
+            matches_predicate_pattern(pat, q) for pat in dis_past for q in past
+        ):
+            return False
+        if req_past and not all(
+            any(matches_predicate_pattern(pat, q) for pat in req_past)
+            for q in past
+        ):
+            return False
+        return True
+
+    def _direction_ok(self, predicate: str, head_is_subject: bool,
+                      bf: dict[str, tuple[int, int]]) -> bool:
+        """Branch-factor direction filter (common/src/lib/direction-ok.ts:15-33)."""
+        if not self.cfg.follow_direction:
+            return True
+        subj, obj = bf.get(predicate, (0, 0))
+        if obj == 0 or subj == 0:
+            return True
+        ratio = subj / obj
+        if ratio >= self.cfg.bf_neutral_high:
+            return head_is_subject
+        if ratio <= self.cfg.bf_neutral_low:
+            return not head_is_subject
+        return True
+
+    def _branch_factors(self) -> dict[str, tuple[int, int]]:
+        """Per-predicate (distinct subjects, distinct objects) over all
+        triples (models/src/Process/process-metrics.ts:122-145)."""
+        subs: dict[str, set] = {}
+        objs: dict[str, set] = {}
+        for key in self.triples:
+            s, p, kind, val = key[0], key[1], key[2], key[3]
+            subs.setdefault(p, set()).add(s)
+            objs.setdefault(p, set()).add(val if kind != "literal" else key[3:])
+        return {p: (len(subs[p]), len(objs.get(p, set()))) for p in subs}
+
+    # ------------------------------------------------------------------
+    # path extension (models/src/Path/TraversalPath.ts:219-399)
+    # ------------------------------------------------------------------
+    def _candidates_for_head(self, head: str) -> list[tuple]:
+        """(sortkey, triple_key, head_is_subject, node_kind, node_value)
+        per candidate; deduped per (predicate, node_key) keep-first."""
+        cands = []
+        for key, rec in self.triples.items():
+            t: Triple = rec["triple"]
+            if t.subject == head:
+                if t.object_kind == "uri" and t.object_value == head:
+                    continue  # self-loop (TraversalPath.ts:408-449)
+                node_kind = t.object_kind
+                node_value = t.object_key()
+                cands.append(((t.predicate, node_value, 0), key, True,
+                              node_kind, t.object_value))
+            if t.object_kind == "uri" and t.object_value == head \
+                    and t.subject != head:
+                cands.append(((t.predicate, t.subject, 1), key, False,
+                              "uri", t.subject))
+        cands.sort(key=lambda c: c[0])
+        seen: set[tuple] = set()
+        out = []
+        for c in cands:
+            dedup_key = (c[0][0], c[0][1])  # (predicate, node_key)
+            if dedup_key in seen:
+                continue
+            seen.add(dedup_key)
+            out.append(c)
+        return out
+
+    def _extend_parent(self, parent: Path, rnd: int,
+                       bf: dict) -> list[Path]:
+        children: list[Path] = []
+        head = parent.head_url
+        for (pred, node_key, _dir), tkey, head_is_subj, node_kind, node_value \
+                in self._candidates_for_head(head):
+            if tkey in parent.triple_keys:
+                continue
+            if pred == head:
+                continue  # predicate == head.url cycle rule
+            if not self._pred_allowed(parent, pred):
+                continue
+            if not self._direction_ok(pred, head_is_subj, bf):
+                continue
+            new_preds = parent.predicates if pred in parent.predicates \
+                else parent.predicates + (pred,)
+            if len(new_preds) > self.cfg.max_path_props:
+                continue
+            if node_kind == "literal":
+                child = Path(
+                    seed=parent.seed, head_url=None, head_kind="literal",
+                    head_key=node_key, nodes=parent.nodes,
+                    predicates=new_preds, status="active",
+                    created_round=rnd, seq=self._next_seq(),
+                    triple_keys=parent.triple_keys | {tkey},
+                )
+                children.append(child)
+                if pred in LABEL_PREDICATES:
+                    self.proc_triples.add(tkey)
+                continue
+            if node_kind == "blank":
+                if not self.cfg.allow_blank_nodes:
+                    continue
+                # blank-node 2-hop chaining (blank-node-utils.ts:21-38):
+                # handled by treating the blank id as a (non-counted) node;
+                # follow-up extension happens when triples with that blank
+                # subject are in the store.
+                node = node_value
+            else:
+                node = node_value
+            if node in parent.nodes:
+                continue  # cycle (TraversalPath.ts:408-449)
+            new_nodes = parent.nodes + (node,)
+            new_len = sum(1 for n in new_nodes if not is_blank_node_id(n))
+            if new_len > self.cfg.max_path_length:
+                continue  # out of bounds (TraversalPath.ts:539-545)
+            child = Path(
+                seed=parent.seed, head_url=node, head_kind="url",
+                head_key=node, nodes=new_nodes, predicates=new_preds,
+                status="active", created_round=rnd, seq=self._next_seq(),
+                triple_keys=parent.triple_keys | {tkey},
+            )
+            children.append(child)
+            self.proc_triples.add(tkey)
+        if children:
+            parent.status = "deleted"
+        return children
+
+    def _extend_round(self, fetched_urls: list[str], rnd: int) -> None:
+        """Extend paths whose head was fetched this round, cascading to
+        new paths whose heads are already fetched (within-round fixpoint)."""
+        worklist = [
+            p for p in self.paths
+            if p.status == "active" and p.head_kind == "url"
+            and p.head_url in fetched_urls
+        ]
+        guard = 0
+        while worklist and guard < 100:
+            guard += 1
+            bf = self._branch_factors() if self.cfg.follow_direction else {}
+            worklist.sort(key=lambda p: p.priority())
+            next_wave: list[Path] = []
+            for parent in worklist:
+                children = self._extend_parent(parent, rnd, bf)
+                for c in children:
+                    self.paths.append(c)
+                    if c.head_kind == "url":
+                        if c.head_url in self.resources:
+                            if self.resources[c.head_url]["status"] == "done":
+                                next_wave.append(c)
+                        else:
+                            self._add_resource(c.head_url)
+            worklist = [c for c in next_wave if c.status == "active"]
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> CrawlResult:
+        cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        rnd = 0
+        while rnd < cap:
+            rnd += 1
+            # Phase A — robots checks for unvisited domains
+            robots_todo = self._robots_candidates()
+            for origin in robots_todo:
+                d = self.domains[origin]
+                status, txt = self.robots.get(origin, ("not_found", ""))
+                d.robots_status = status
+                if status == "host_not_found":
+                    d.status = "error"
+                    continue
+                d.robots_txt = txt if status == "ok" else ""
+                delay = None
+                if status == "ok":
+                    delay = robots_crawl_delay(txt, self.cfg.user_agent)
+                d.crawl_delay = (
+                    int(delay) if delay is not None
+                    else self.cfg.default_crawl_delay
+                )
+                d.status = "ready"
+                d.next_allowed = rnd + d.crawl_delay
+
+            # Phase B — crawl
+            schedule = self._crawl_schedule(rnd)
+            if not robots_todo and not schedule:
+                rnd -= 1
+                break
+            fetched: list[str] = []
+            new_triples_this_round: list[tuple[str, list[Triple]]] = []
+            for seq, (url, origin) in enumerate(schedule):
+                d = self.domains[origin]
+                if not robots_allows(d.robots_txt, url, self.cfg.user_agent):
+                    self.resources[url]["status"] = "error"
+                    self.trace.append(
+                        TraceEntry(rnd, seq, url, origin, "error:disallowed"))
+                    continue
+                d.next_allowed = rnd + d.crawl_delay
+                page = self.pages.get(url)
+                if page is None:
+                    self.resources[url]["status"] = "error"
+                    self.trace.append(
+                        TraceEntry(rnd, seq, url, origin, "error:not_found"))
+                    continue
+                html, _text, _lang = page
+                extract_text(html)  # byte-identical invariant checked in tests
+                raw = parse_ntriples(extract_ntriples_block(html))
+                quads = filter_quads(raw, url, self.cfg.allow_blank_nodes)
+                for t in quads:
+                    key = triple_key(t)
+                    rec = self.triples.setdefault(
+                        key, {"triple": t, "sources": set()})
+                    rec["sources"].add(url)
+                new_triples_this_round.append((url, quads))
+                self.resources[url]["status"] = "done"
+                fetched.append(url)
+                self.trace.append(TraceEntry(rnd, seq, url, origin, "done"))
+
+            # new-URL discovery (Resource.addFromTriples,
+            # manager/src/lib/Manager.ts:352-410)
+            for _src, quads in new_triples_this_round:
+                for t in quads:
+                    for node in (t.subject,
+                                 t.object_value if t.object_kind == "uri"
+                                 else None):
+                        if node is None or is_blank_node_id(node):
+                            continue
+                        cu = canonicalize_url(node)
+                        if cu is not None and cu not in self.resources:
+                            self._add_resource(cu)
+
+            # path extension
+            self._extend_round(fetched, rnd)
+        return CrawlResult(
+            trace=self.trace, resources=self.resources, domains=self.domains,
+            triples=self.triples, paths=self.paths,
+            proc_triples=self.proc_triples, rounds=rnd,
+        )
+
+
+def run_oracle_on_fixture(fx, config: CrawlConfig | None = None,
+                          max_rounds: int | None = None) -> CrawlResult:
+    pages = {u: (h, t, l) for u, h, t, l in
+             zip(fx.urls, fx.html, fx.text, fx.lang)}
+    robots = {o: (s, txt) for o, s, txt in
+              zip(fx.robots_origin, fx.robots_status, fx.robots_txt)}
+    return Oracle(pages, robots, fx.seeds, config).run(max_rounds)
