@@ -1,0 +1,764 @@
+"""The round-synchronous Spark crawl engine.
+
+Each round is one deterministic DataFrame job over the state tables
+(SURVEY.md §7.0), committed as a parquet+manifest snapshot:
+
+Phase A  robots checks for unvisited domains
+         (reference two-phase scheduling: getPathsForRobotsChecking,
+         models/src/Process/process-paths.ts:376-508)
+Phase B  priority ranking → per-domain top-k → politeness admission →
+         fetch join vs pages → extract/parse (Arrow UDFs) → triple
+         merge → new-URL discovery (Bloom + anti-join) → path
+         extension cascade
+         (reference: process-paths.ts:560-699 priority order;
+         Domain.ts:740-909 domain locking — collapsed into the
+         round-synchronous schedule; TraversalPath.ts:219-399 extension)
+
+Scale design (1000-executor cluster / 100 TB pages; tested local[32]):
+- the driver only ever materializes O(per-round schedule) rows — the
+  scheduled set (≤ eligible domains × per-domain budget) and its trace.
+  The frontier, seen-set, triple store and pages table stay distributed
+  end-to-end;
+- joins against big tables keep the big side shuffle-free by
+  broadcasting the (small) per-round side: fetch = pages ⋈
+  broadcast(schedule), status updates = state ⋈ broadcast(updates);
+- the only full-table shuffles are the triple-merge groupBy and the
+  seen-set anti-join, both on uniform hash keys; the Bloom pre-pass
+  (north rule) shrinks the anti-join probe side to ~dupes only;
+- domains is a dimension table (broadcast everywhere);
+- per-domain top-k is a window over hash(origin) partitions; mega-
+  domain skew is bounded because only *unvisited eligible heads* are
+  ranked, and AQE skew handling is on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from derzis_spark.config import CrawlConfig, LABEL_PREDICATES
+from derzis_spark.functions import udfs
+from derzis_spark.functions.core import matches_predicate_pattern
+from derzis_spark import schemas
+from derzis_spark.operators.seen_set import BloomFilter, split_by_bloom
+from derzis_spark.storage import SnapshotStore
+
+
+def build_session(app: str = "derzis-spark", cores: str | int = "*",
+                  shuffle_partitions: int = 32) -> SparkSession:
+    # make the package importable in executor python workers regardless
+    # of the driver's cwd (on a real cluster this is spark-submit
+    # --py-files derzis_spark.zip instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}:{existing}" if existing else pkg_root)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _object_key_col():
+    """Literal identity key value|datatype|language
+    (models/src/Path/TraversalPath.ts:368); plain value otherwise."""
+    return F.when(
+        F.col("object_kind") == "literal",
+        F.concat_ws(
+            "|", F.col("object_value"),
+            F.coalesce(F.col("object_datatype"), F.lit("")),
+            F.coalesce(F.col("object_language"), F.lit("")),
+        ),
+    ).otherwise(F.col("object_value"))
+
+
+class CrawlEngine:
+    """Round-synchronous BSP crawl over Spark DataFrames."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 robots: DataFrame, config: CrawlConfig | None = None,
+                 work_dir: str | None = None):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.pages = pages
+        self.robots = robots
+        self.store = SnapshotStore(work_dir) if work_dir else None
+        self._robots_allows = udfs.make_robots_allows(self.cfg.user_agent)
+        self._robots_delay = udfs.make_robots_crawl_delay(self.cfg.user_agent)
+        self.round = 0
+        self.seq_counter = 0
+        self._bloom: BloomFilter | None = None
+        self.metrics: list[dict] = []
+        self.resources: DataFrame | None = None
+        self.domains: DataFrame | None = None
+        self.paths: DataFrame | None = None
+        self.triples: DataFrame | None = None
+        # the trace is O(per-round schedule × rounds) and is produced on
+        # the driver row-by-round anyway (the schedule is collected); it
+        # lives as a list and is committed as a table in each snapshot
+        self._trace_rows: list[tuple] = []
+
+    @property
+    def trace(self) -> DataFrame:
+        return self.spark.createDataFrame(self._trace_rows, schemas.TRACE)
+
+    # ------------------------------------------------------------------
+    # bootstrap / resume
+    # ------------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Seed insertion (models/src/Resource.ts:306-331,339-507):
+        canonicalize, dedup preserving first-occurrence order, create
+        resources + domains + length-1 paths with deterministic seq."""
+        w = Window.orderBy("file_order")
+        seed_rows = (
+            seeds.coalesce(1)
+            .withColumn("file_order", F.monotonically_increasing_id())
+            .withColumn("url", udfs.canonicalize_url(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .groupBy("url").agg(F.min("file_order").alias("file_order"))
+            .withColumn("seq", F.row_number().over(w) - F.lit(1))
+            .drop("file_order")
+            .withColumn("origin", udfs.url_origin(F.col("url")))
+        )
+        seed_rows.cache()
+        self.resources = seed_rows.select(
+            "url", "origin", F.lit("unvisited").alias("status"))
+        self.domains = (
+            seed_rows.select("origin").distinct().select(
+                "origin",
+                F.lit("unvisited").alias("status"),
+                F.lit(None).cast("string").alias("robots_status"),
+                F.lit("").alias("robots_txt"),
+                F.lit(self.cfg.default_crawl_delay).cast("int").alias("crawl_delay"),
+                F.lit(0).cast("int").alias("next_allowed"),
+            )
+        )
+        self.paths = seed_rows.select(
+            F.col("url").alias("seed"),
+            F.col("url").alias("head_url"),
+            F.lit("url").alias("head_kind"),
+            F.col("url").alias("head_key"),
+            F.array(F.col("url")).alias("nodes"),
+            F.array().cast("array<string>").alias("predicates"),
+            F.lit(1).alias("length"),
+            F.lit("active").alias("status"),
+            F.lit(0).alias("created_round"),
+            F.col("seq").cast("long").alias("seq"),
+        )
+        self.triples = self.spark.createDataFrame([], schemas.TRIPLES)
+        self._trace_rows = []
+        self.seq_counter = seed_rows.count()
+        self.round = 0
+        if self.store:
+            self._commit({"phase": "bootstrap"})
+        else:
+            self._checkpoint_local()
+
+    def resume(self) -> None:
+        """Deterministic mid-frontier resume from the latest snapshot."""
+        assert self.store is not None, "resume needs a work_dir"
+        rnd = self.store.latest_round()
+        if rnd is None:
+            raise FileNotFoundError(f"no snapshot under {self.store.root}")
+        manifest = self.store.read_manifest(rnd)
+        tables = self.store.load_tables(self.spark, rnd)
+        self.resources = tables["resources"]
+        self.domains = tables["domains"]
+        self.paths = tables["paths"]
+        self.triples = tables["triples"]
+        self._trace_rows = [
+            (r["round"], r["seq"], r["url"], r["origin"], r["status"])
+            for r in tables["trace"].orderBy("round", "seq").collect()
+        ]
+        self.round = manifest["round"]
+        self.seq_counter = manifest["seq_counter"]
+
+    def _commit(self, metrics: dict) -> None:
+        self.store.commit(
+            self.spark, self.round,
+            {
+                "resources": self.resources,
+                "domains": self.domains,
+                "paths": self.paths,
+                "triples": self.triples,
+                "trace": self.trace,
+            },
+            metrics, self.seq_counter,
+        )
+        tables = self.store.load_tables(self.spark, self.round)
+        self.resources = tables["resources"]
+        self.domains = tables["domains"]
+        self.paths = tables["paths"]
+        self.triples = tables["triples"]
+
+    def _checkpoint_local(self) -> None:
+        """Lineage truncation when running without a snapshot store."""
+        self.resources = self.resources.localCheckpoint(eager=True)
+        self.domains = self.domains.localCheckpoint(eager=True)
+        self.paths = self.paths.localCheckpoint(eager=True)
+        self.triples = self.triples.localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------------
+    # per-round pieces
+    # ------------------------------------------------------------------
+    def _eligible_paths(self) -> DataFrame:
+        """Frontier eligibility (SURVEY §2.2): active url-head paths
+        within bounds whose head resource is unvisited; origin attached
+        from the seen-set. Domain state is joined by the callers."""
+        res = self.resources.select(
+            F.col("url").alias("head_url"),
+            F.col("origin"),
+            F.col("status").alias("res_status"),
+        )
+        return (
+            self.paths
+            .filter(
+                (F.col("status") == "active")
+                & (F.col("head_kind") == "url")
+                & (F.col("length") < self.cfg.max_path_length)
+                & (F.size("predicates") <= self.cfg.max_path_props)
+            )
+            .join(res, "head_url")
+            .filter(F.col("res_status") == "unvisited")
+            .select("head_url", "origin", "length", "created_round", "seq")
+        )
+
+    def _phase_robots(self, rnd: int, eligible: DataFrame) -> int:
+        """Robots checks for unvisited domains with eligible paths.
+        Returns the number of domains checked; updates self.domains."""
+        dom = self.domains.select(
+            "origin", F.col("status").alias("dom_status"))
+        cand = (
+            eligible.join(F.broadcast(dom), "origin")
+            .filter(F.col("dom_status") == "unvisited")
+            .select("origin").distinct()
+        )
+        info = cand.join(F.broadcast(self.robots), "origin", "left")
+        delay_ok = self._robots_delay(F.col("robots_txt"))
+        updates = info.select(
+            "origin",
+            F.coalesce(F.col("status"), F.lit("not_found"))
+             .alias("new_robots_status"),
+            F.when(F.col("status") == "ok", F.col("robots_txt"))
+             .otherwise(F.lit("")).alias("new_robots_txt"),
+            F.when(
+                F.col("status") == "ok",
+                F.coalesce(delay_ok.cast("int"),
+                           F.lit(self.cfg.default_crawl_delay)),
+            ).otherwise(F.lit(self.cfg.default_crawl_delay))
+             .alias("new_crawl_delay"),
+        ).withColumn(
+            "new_dom_status",
+            F.when(F.col("new_robots_status") == "host_not_found",
+                   F.lit("error")).otherwise(F.lit("ready")),
+        ).withColumn(
+            "new_next_allowed",
+            F.lit(rnd) + F.col("new_crawl_delay"),
+        )
+        rows = updates.collect()  # O(#unvisited domains this round)
+        if rows:
+            upd_df = self.spark.createDataFrame(rows)
+            self.domains = (
+                self.domains.join(F.broadcast(upd_df), "origin", "left")
+                .select(
+                    "origin",
+                    F.coalesce("new_dom_status", "status").alias("status"),
+                    F.coalesce("new_robots_status", "robots_status")
+                     .alias("robots_status"),
+                    F.coalesce("new_robots_txt", "robots_txt")
+                     .alias("robots_txt"),
+                    F.coalesce("new_crawl_delay", "crawl_delay")
+                     .cast("int").alias("crawl_delay"),
+                    F.coalesce("new_next_allowed", "next_allowed")
+                     .cast("int").alias("next_allowed"),
+                )
+            )
+        return len(rows)
+
+    def _phase_schedule(self, rnd: int, eligible: DataFrame) -> list[Row]:
+        """Priority ranking + per-domain top-k + politeness admission.
+
+        Order = (length ASC, created_round ASC, seq ASC) — the
+        reference's sort(nodes.count, createdAt, _id)
+        (process-paths.ts:675-678). Per-domain budget = row_number over
+        hash(origin) partitions ≤ resources_per_domain
+        (Domain.ts:547-565 / config resourcesPerDomain).
+
+        Returns the collected schedule — O(domains × budget) rows by
+        construction, the round-synchronous driver contract."""
+        dom = self.domains.select(
+            "origin", F.col("status").alias("dom_status"),
+            "next_allowed", "robots_txt")
+        elig = (
+            eligible.join(F.broadcast(dom), "origin")
+            .filter((F.col("dom_status") == "ready")
+                    & (F.col("next_allowed") <= rnd))
+        )
+        url_best = elig.groupBy("head_url", "origin").agg(
+            F.min(F.struct("length", "created_round", "seq")).alias("pr")
+        )
+        per_dom = Window.partitionBy("origin").orderBy("pr", "head_url")
+        ranked = (
+            url_best.withColumn("dom_rk", F.row_number().over(per_dom))
+            .filter(F.col("dom_rk") <= self.cfg.resources_per_domain)
+        )
+        rows = ranked.select("head_url", "origin", "pr").collect()
+        rows.sort(key=lambda r: (tuple(r["pr"]), r["head_url"]))
+        if self.cfg.round_domain_limit is not None:
+            kept: list[str] = []
+            for r in rows:
+                if r["origin"] not in kept:
+                    kept.append(r["origin"])
+            allowed = set(kept[: self.cfg.round_domain_limit])
+            rows = [r for r in rows if r["origin"] in allowed]
+        return rows
+
+    def _phase_fetch(self, rnd: int, sched_rows: list[Row]):
+        """Fetch = join of scheduled frontier vs pages (the sandbox
+        substitute for HTTP GET, Worker.ts:697-728) + robots gate
+        (Worker.ts:415-423).
+
+        Returns (trace_tuples, quads_df). The robots gate runs on the
+        driver over the already-collected schedule (the robots cache is
+        per-domain state the driver owns); text extraction and triple
+        parsing are Arrow UDFs on executors."""
+        from derzis_spark.functions.core import robots_allows as _allows
+
+        dom_rows = {
+            r["origin"]: r for r in
+            self.domains.select("origin", "robots_txt", "crawl_delay")
+            .join(
+                F.broadcast(self.spark.createDataFrame(
+                    [(r["origin"],) for r in sched_rows], "origin string"
+                ).distinct()), "origin").collect()
+        }
+        trace: list[tuple] = []
+        attempted: list[tuple[str, str]] = []  # (url, origin)
+        for rseq, r in enumerate(sched_rows):
+            url, origin = r["head_url"], r["origin"]
+            txt = dom_rows[origin]["robots_txt"]
+            if not _allows(txt, url, self.cfg.user_agent):
+                trace.append((rnd, rseq, url, origin, "error:disallowed"))
+            else:
+                attempted.append((url, origin, rseq))
+        if attempted:
+            att_df = self.spark.createDataFrame(
+                attempted, "url string, origin string, rseq int")
+            found = self.pages.join(F.broadcast(att_df), "url").select(
+                "url", "origin", "rseq",
+                udfs.extract_text(F.col("html")).alias("extracted_text"),
+                udfs.parse_page_triples(F.col("html")).alias("raw_triples"),
+            )
+            found.cache()
+            found_urls = {
+                r["url"] for r in found.select("url").collect()
+            }
+            for url, origin, rseq in attempted:
+                status = "done" if url in found_urls else "error:not_found"
+                trace.append((rnd, rseq, url, origin, status))
+        else:
+            found = None
+        trace.sort(key=lambda t: t[1])
+
+        quads = None
+        if found is not None:
+            q = (
+                found.select(F.col("url").alias("source"),
+                             F.explode("raw_triples").alias("t"))
+                .select("source", "t.*")
+            )
+            subj_is_blank = F.col("subject").startswith("_:")
+            obj_is_blank = F.col("object_kind") == "blank"
+            q = q.filter(F.col("object_value") != "")
+            if self.cfg.allow_blank_nodes:
+                q = q.withColumn(
+                    "subject",
+                    F.when(subj_is_blank, udfs.blank_node_ns(
+                        F.col("source"), F.col("subject")))
+                    .otherwise(F.col("subject")),
+                ).withColumn(
+                    "object_value",
+                    F.when(obj_is_blank, udfs.blank_node_ns(
+                        F.col("source"), F.col("object_value")))
+                    .otherwise(F.col("object_value")),
+                )
+            else:
+                q = q.filter(~subj_is_blank & ~obj_is_blank)
+            quads = q
+        return trace, quads
+
+    def _merge_triples(self, quads: DataFrame) -> None:
+        """Per-page dedup + MERGE into the triple store with source-set
+        union (Triple.ts:79-232; sources $addToSet → array_distinct)."""
+        key = ["subject", "predicate", "object_kind", "object_value",
+               "object_datatype", "object_language"]
+        new_triples = quads.groupBy(*key).agg(
+            F.sort_array(F.collect_set("source")).alias("sources"))
+        self.triples = (
+            self.triples.unionByName(new_triples)
+            .groupBy(*key)
+            .agg(F.sort_array(F.array_distinct(
+                F.flatten(F.collect_list("sources")))).alias("sources"))
+        )
+
+    def _discover_urls(self, quads: DataFrame) -> None:
+        """New-URL discovery (Resource.addFromTriples,
+        manager/src/lib/Manager.ts:352-410): named nodes → canonicalize
+        → seen-set anti-join (Bloom pre-pass) → insert unvisited."""
+        nodes = (
+            quads.select(F.col("subject").alias("node"))
+            .unionByName(quads.filter(F.col("object_kind") == "uri")
+                         .select(F.col("object_value").alias("node")))
+            .filter(~F.col("node").startswith("_:"))
+            .withColumn("url", udfs.canonicalize_url(F.col("node")))
+            .filter(F.col("url").isNotNull())
+            .select("url").distinct()
+        )
+        self._insert_new_urls(nodes)
+
+    def _insert_new_urls(self, urls: DataFrame) -> int:
+        """Insert previously-unseen URLs into the seen-set; returns the
+        number inserted. The anti-join is the scale path; the Bloom
+        pre-pass routes definitely-new URLs around it."""
+        if self.cfg.use_bloom and self._bloom is not None:
+            definitely_new, maybe_seen = split_by_bloom(
+                self.spark, urls, "url", self._bloom)
+            genuinely_new = maybe_seen.join(
+                self.resources.select("url"), "url", "left_anti")
+            new_urls = definitely_new.unionByName(genuinely_new)
+        else:
+            new_urls = urls.join(
+                self.resources.select("url"), "url", "left_anti")
+        new_res = new_urls.withColumn(
+            "origin", udfs.url_origin(F.col("url"))
+        ).select("url", "origin", F.lit("unvisited").alias("status"))
+        new_res.cache()
+        n = new_res.count()
+        if n == 0:
+            return 0
+        self.resources = self.resources.unionByName(new_res)
+        new_doms = (
+            new_res.select("origin").distinct()
+            .join(self.domains.select("origin"), "origin", "left_anti")
+            .select(
+                "origin", F.lit("unvisited").alias("status"),
+                F.lit(None).cast("string").alias("robots_status"),
+                F.lit("").alias("robots_txt"),
+                F.lit(self.cfg.default_crawl_delay).cast("int")
+                 .alias("crawl_delay"),
+                F.lit(0).cast("int").alias("next_allowed"),
+            )
+        )
+        self.domains = self.domains.unionByName(new_doms)
+        if self._bloom is not None:
+            for row in new_res.select("url").collect():
+                self._bloom.add(row["url"])
+        return n
+
+    # ------------------------------------------------------------------
+    # path extension (TraversalPath.ts:219-399 as joins/windows)
+    # ------------------------------------------------------------------
+    def _triple_ends(self) -> DataFrame:
+        """Explode triples into (end, direction) rows: the equi-join
+        surface for path extension (SURVEY §2.3 core join — nodes[]
+        array membership becomes an exploded edge view)."""
+        t = self.triples.withColumn("node_key0", _object_key_col())
+        fwd = t.select(
+            F.col("subject").alias("end"),
+            F.lit(0).alias("dir_rank"),
+            F.col("predicate").alias("pred"),
+            F.col("object_kind").alias("node_kind"),
+            F.col("object_value").alias("node_raw"),
+            F.col("node_key0").alias("node_key"),
+        ).filter(
+            ~((F.col("node_kind") == "uri") & (F.col("node_raw") == F.col("end")))
+        )
+        bwd = t.filter(
+            (F.col("object_kind") == "uri")
+            & (F.col("subject") != F.col("object_value"))
+        ).select(
+            F.col("object_value").alias("end"),
+            F.lit(1).alias("dir_rank"),
+            F.col("predicate").alias("pred"),
+            F.lit("uri").alias("node_kind"),
+            F.col("subject").alias("node_raw"),
+            F.col("subject").alias("node_key"),
+        )
+        return fwd.unionByName(bwd)
+
+    def _pred_limit_filter(self, cand: DataFrame) -> DataFrame:
+        """Predicate allow/deny (genTraversalPathQuery semantics,
+        process-paths.ts:791-866): patterns are evaluated once against
+        the small distinct-predicate vocabulary, then applied as
+        broadcast isin sets ($setIsSubset → F.forall)."""
+        lims = self.cfg.pred_limitations
+        if not lims:
+            return cand
+        vocab = [r["pred"] for r in cand.select("pred").distinct().collect()]
+        past_vocab = [
+            r["p"] for r in
+            cand.select(F.explode("predicates").alias("p")).distinct().collect()
+        ]
+        def matched(kind: str, words: list[str]) -> set[str]:
+            pats = [l.predicate for l in lims if kind in l.lims]
+            return {w for w in words
+                    if any(matches_predicate_pattern(p, w) for p in pats)}
+        labels = set(LABEL_PREDICATES)
+        dis_future = matched("disallow-future", vocab)
+        req_future_pats = [l for l in lims if "require-future" in l.lims]
+        req_future = matched("require-future", vocab)
+        dis_past = matched("disallow-past", past_vocab) - labels
+        req_past_pats = [l for l in lims if "require-past" in l.lims]
+        req_past = matched("require-past", past_vocab)
+
+        is_label = F.col("pred").isin(list(labels))
+        ok = ~F.col("pred").isin(list(dis_future)) if dis_future else F.lit(True)
+        if req_future_pats:
+            ok = ok & F.col("pred").isin(list(req_future | labels))
+        cand = cand.filter(is_label | ok)
+        if dis_past:
+            arr = F.array(*[F.lit(x) for x in sorted(dis_past)])
+            cand = cand.filter(
+                ~F.exists("predicates", lambda p: F.array_contains(arr, p)))
+        if req_past_pats:
+            allowed_past = sorted(req_past | labels)
+            arr = F.array(*[F.lit(x) for x in allowed_past])
+            cand = cand.filter(
+                F.forall("predicates", lambda p: F.array_contains(arr, p)))
+        return cand
+
+    def _extend(self, rnd: int, fetched_done: list[str]) -> int:
+        """Within-round extension cascade (oracle `_extend_round`).
+        ``fetched_done`` is this round's successfully fetched URLs
+        (small: bounded by the schedule)."""
+        total_children = 0
+        wave_heads = list(fetched_done)
+        ends = self._triple_ends()
+        ends.cache()
+        bf = None
+        if self.cfg.follow_direction:
+            t = self.triples.withColumn("okey", _object_key_col())
+            bf = t.groupBy("predicate").agg(
+                F.countDistinct("subject").alias("bf_subj"),
+                F.countDistinct("okey").alias("bf_obj"),
+            ).withColumnRenamed("predicate", "pred")
+        guard = 0
+        while wave_heads and guard < 100:
+            guard += 1
+            parents = self.paths.filter(
+                (F.col("status") == "active")
+                & F.col("head_kind").isin("url", "blank")
+                & F.col("head_url").isin(wave_heads)
+            )
+            children = self._extend_wave(rnd, parents, ends, bf)
+            children.cache()
+            child_rows = children.select(
+                "head_kind", "head_url", "parent_seq").collect()
+            n = len(child_rows)
+            if n == 0:
+                break
+            total_children += n
+            self.seq_counter += n
+            extended_seqs = sorted({r["parent_seq"] for r in child_rows})
+            self.paths = (
+                self.paths.withColumn(
+                    "status",
+                    F.when(F.col("seq").isin(extended_seqs),
+                           F.lit("deleted")).otherwise(F.col("status")))
+            )
+            new_paths = children.select(
+                "seed", "head_url", "head_kind", "head_key", "nodes",
+                "predicates", "length", "status", "created_round", "seq")
+            self.paths = self.paths.unionByName(new_paths)
+            # register unseen child heads as resources
+            #   (oracle `_add_resource` during extension — normally a
+            #   no-op because discovery already registered all triple
+            #   nodes, so probe membership first and only run the full
+            #   insert when something is actually missing)
+            url_heads = sorted({
+                r["head_url"] for r in child_rows if r["head_kind"] == "url"
+            })
+            done_heads: list[str] = []
+            if url_heads:
+                known = self.resources.filter(
+                    F.col("url").isin(url_heads)
+                ).select("url", "status").collect()
+                known_urls = {r["url"] for r in known}
+                missing = [u for u in url_heads if u not in known_urls]
+                if missing:
+                    heads_df = self.spark.createDataFrame(
+                        [(u,) for u in missing], "url string")
+                    self._insert_new_urls(heads_df)
+                done_heads = [r["url"] for r in known
+                              if r["status"] == "done"]
+            # next wave: blank heads chain immediately; url heads whose
+            # resource is already done re-extend against the store
+            blank_heads = [
+                r["head_url"] for r in child_rows if r["head_kind"] == "blank"
+            ]
+            wave_heads = sorted(set(blank_heads) | set(done_heads))
+        return total_children
+
+    def _extend_wave(self, rnd: int, parents: DataFrame, ends: DataFrame,
+                     bf: DataFrame | None) -> DataFrame:
+        cand = parents.select(
+            F.col("seed"), F.col("head_url").alias("p_head"),
+            F.col("nodes"), F.col("predicates"),
+            F.col("length").alias("p_length"),
+            F.col("created_round").alias("p_created"),
+            F.col("seq").alias("parent_seq"),
+        ).join(ends, F.col("p_head") == F.col("end"))
+        # cycle rule: predicate == head.url (TraversalPath.ts:408-449)
+        cand = cand.filter(F.col("pred") != F.col("p_head"))
+        # dedup one child per (parent, predicate, node_key), prefer
+        # head-as-subject (dir_rank 0) — BEFORE the direction filter to
+        # match the oracle's keep-first-then-filter order
+        dd = Window.partitionBy("parent_seq", "pred", "node_key") \
+            .orderBy("dir_rank")
+        cand = cand.withColumn("dd_rk", F.row_number().over(dd)) \
+            .filter(F.col("dd_rk") == 1).drop("dd_rk")
+        cand = self._pred_limit_filter(cand)
+        if bf is not None:
+            ratio = F.col("bf_subj") / F.col("bf_obj")
+            cand = cand.join(F.broadcast(bf), "pred", "left").filter(
+                F.col("bf_subj").isNull() | F.col("bf_obj").isNull()
+                | (F.col("bf_obj") == 0) | (F.col("bf_subj") == 0)
+                | ((ratio >= F.lit(self.cfg.bf_neutral_high))
+                   & (F.col("dir_rank") == 0))
+                | ((ratio <= F.lit(self.cfg.bf_neutral_low))
+                   & (F.col("dir_rank") == 1))
+                | ((ratio > F.lit(self.cfg.bf_neutral_low))
+                   & (ratio < F.lit(self.cfg.bf_neutral_high)))
+            ).drop("bf_subj", "bf_obj")
+        # new predicates (distinct, order-preserving) + bound
+        cand = cand.withColumn(
+            "new_predicates",
+            F.when(F.array_contains("predicates", F.col("pred")),
+                   F.col("predicates"))
+            .otherwise(F.concat("predicates", F.array(F.col("pred")))),
+        ).filter(F.size("new_predicates") <= self.cfg.max_path_props)
+        # resolve node per kind
+        allow_blank = self.cfg.allow_blank_nodes
+        cand = cand.withColumn(
+            "node_c",
+            F.when(F.col("node_kind") == "uri",
+                   udfs.canonicalize_url(F.col("node_raw")))
+            .otherwise(F.col("node_raw")),
+        )
+        uri_ok = (F.col("node_kind") == "uri") & F.col("node_c").isNotNull() \
+            & ~F.array_contains("nodes", F.col("node_c")) \
+            & (F.col("p_length") + 1 <= self.cfg.max_path_length)
+        blank_ok = (F.col("node_kind") == "blank") & F.lit(allow_blank) \
+            & ~F.array_contains("nodes", F.col("node_c"))
+        lit_ok = F.col("node_kind") == "literal"
+        cand = cand.filter(uri_ok | blank_ok | lit_ok)
+        # deterministic seq: the oracle's wave order =
+        # (parent priority, predicate, node_key)
+        sw = Window.orderBy(
+            "p_length", "p_created", "parent_seq", "pred", "node_key")
+        cand = cand.withColumn(
+            "seq",
+            (F.row_number().over(sw) - F.lit(1) + F.lit(self.seq_counter))
+            .cast("long"),
+        )
+        return cand.select(
+            "parent_seq",
+            F.col("seed"),
+            F.when(lit_ok, F.lit(None).cast("string"))
+             .otherwise(F.col("node_c")).alias("head_url"),
+            F.when(lit_ok, F.lit("literal"))
+             .when(F.col("node_kind") == "blank", F.lit("blank"))
+             .otherwise(F.lit("url")).alias("head_kind"),
+            F.col("node_key").alias("head_key"),
+            F.when(lit_ok, F.col("nodes"))
+             .otherwise(F.concat("nodes", F.array(F.col("node_c"))))
+             .alias("nodes"),
+            F.col("new_predicates").alias("predicates"),
+            F.when(lit_ok | (F.col("node_kind") == "blank"),
+                   F.col("p_length"))
+             .otherwise(F.col("p_length") + 1).cast("int").alias("length"),
+            F.lit("active").alias("status"),
+            F.lit(rnd).cast("int").alias("created_round"),
+            "seq",
+        )
+
+    # ------------------------------------------------------------------
+    # the round loop
+    # ------------------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None,
+            max_rounds: int | None = None) -> DataFrame:
+        """Run the crawl to frontier exhaustion (or ``max_rounds``);
+        returns the trace DataFrame."""
+        if seeds is not None:
+            self.bootstrap(seeds)
+        assert self.paths is not None, "bootstrap or resume first"
+        cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        if self.cfg.use_bloom and self._bloom is None:
+            self._bloom = BloomFilter(self.cfg.bloom_capacity,
+                                      self.cfg.bloom_fpp)
+            for row in self.resources.select("url").collect():
+                self._bloom.add(row["url"])
+        while self.round < cap:
+            rnd = self.round + 1
+            eligible = self._eligible_paths()
+            eligible.cache()
+            n_robots = self._phase_robots(rnd, eligible)
+            sched_rows = self._phase_schedule(rnd, eligible)
+            n_sched = len(sched_rows)
+            if n_robots == 0 and n_sched == 0:
+                break
+            self.round = rnd
+            n_done = 0
+            if n_sched:
+                trace, quads = self._phase_fetch(rnd, sched_rows)
+                self._trace_rows.extend(trace)
+                # politeness charge: attempted fetches bump next_allowed
+                # (oracle: next_allowed = rnd + crawl_delay per access)
+                charged = sorted({
+                    t[3] for t in trace if t[4] != "error:disallowed"})
+                if charged:
+                    self.domains = self.domains.withColumn(
+                        "next_allowed",
+                        F.when(F.col("origin").isin(charged),
+                               F.lit(rnd) + F.col("crawl_delay"))
+                        .otherwise(F.col("next_allowed")).cast("int"))
+                # resource status updates
+                res_up = self.spark.createDataFrame(
+                    [(t[2], "done" if t[4] == "done" else "error")
+                     for t in trace],
+                    "url string, new_status string")
+                self.resources = (
+                    self.resources.join(F.broadcast(res_up), "url", "left")
+                    .withColumn("status",
+                                F.coalesce("new_status", "status"))
+                    .drop("new_status")
+                )
+                if quads is not None:
+                    quads.cache()
+                    self._merge_triples(quads)
+                    self._discover_urls(quads)
+                fetched_done = [t[2] for t in trace if t[4] == "done"]
+                n_done = len(fetched_done)
+                if fetched_done:
+                    self._extend(rnd, fetched_done)
+            metrics = {
+                "round": rnd, "scheduled": n_sched,
+                "robots_checked": n_robots, "fetched_done": n_done,
+            }
+            self.metrics.append(metrics)
+            if self.store:
+                self._commit(metrics)
+            else:
+                self._checkpoint_local()
+        return self.trace

@@ -1,0 +1,89 @@
+"""Arrow-vectorized pandas UDFs wrapping the pure cores.
+
+Per BASELINE.json ``input_hint``: *no per-row Python* — every UDF here
+is a ``pandas_udf`` (Arrow batch transfer, one Python invocation per
+batch). Everything expressible with built-in ``pyspark.sql.functions``
+stays JVM-side; these UDFs cover only the genuinely non-SQL pieces:
+URL canonicalization, robots matching, HTML text/triple extraction.
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf
+type-hint inference needs real (non-string) annotations.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, StringType,
+)
+
+from derzis_spark.functions import core
+from derzis_spark.schemas import RAW_TRIPLE
+
+
+@pandas_udf(StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(core.canonicalize_url, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def url_origin(urls: pd.Series) -> pd.Series:
+    return urls.map(core.url_origin, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(core.extract_text, na_action="ignore")
+
+
+@pandas_udf(ArrayType(RAW_TRIPLE))
+def parse_page_triples(html: pd.Series) -> pd.Series:
+    """html bytes → raw (unfiltered) triples; the validity filter
+    (Worker.ts:599-657) is applied Spark-side in the engine so it stays
+    in whole-stage codegen."""
+    def one(h):
+        ts = core.parse_ntriples(core.extract_ntriples_block(h))
+        return [
+            {
+                "subject": t.subject,
+                "predicate": t.predicate,
+                "object_kind": t.object_kind,
+                "object_value": t.object_value,
+                "object_datatype": t.object_datatype,
+                "object_language": t.object_language,
+            }
+            for t in ts
+        ]
+    return html.map(one, na_action="ignore")
+
+
+def make_robots_allows(user_agent: str):
+    @pandas_udf(BooleanType())
+    def robots_allows(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
+        df = pd.DataFrame({"r": robots_txt, "u": url})
+        return df.apply(
+            lambda row: core.robots_allows(
+                row["r"] if isinstance(row["r"], str) else None,
+                row["u"], user_agent),
+            axis=1,
+        )
+    return robots_allows
+
+
+def make_robots_crawl_delay(user_agent: str):
+    @pandas_udf(DoubleType())
+    def robots_crawl_delay(robots_txt: pd.Series) -> pd.Series:
+        return robots_txt.map(
+            lambda r: core.robots_crawl_delay(r, user_agent),
+            na_action="ignore",
+        )
+    return robots_crawl_delay
+
+
+def blank_node_ns(source_col, local_col):
+    """Native-expression blank-node namespacing (Worker.ts:63-70):
+    ``_:{source}:{local-without-_:}`` — stays JVM-side."""
+    stripped = F.when(
+        local_col.startswith("_:"), F.substring(local_col, 3, 1 << 30)
+    ).otherwise(local_col)
+    return F.concat(F.lit("_:"), source_col, F.lit(":"), stripped)

@@ -337,12 +337,18 @@ class Oracle:
                 if not self.cfg.allow_blank_nodes:
                     continue
                 # blank-node 2-hop chaining (blank-node-utils.ts:21-38):
-                # handled by treating the blank id as a (non-counted) node;
-                # follow-up extension happens when triples with that blank
-                # subject are in the store.
+                # the blank id becomes a non-counted node with a
+                # non-fetchable head; follow-up extension happens in the
+                # within-round cascade via triples whose subject is the
+                # (namespaced) blank id.
                 node = node_value
+                head_kind = "blank"
             else:
-                node = node_value
+                node_c = canonicalize_url(node_value)
+                if node_c is None:
+                    continue  # non-http(s) URI: not a crawlable head
+                node = node_c
+                head_kind = "url"
             if node in parent.nodes:
                 continue  # cycle (TraversalPath.ts:408-449)
             new_nodes = parent.nodes + (node,)
@@ -350,7 +356,7 @@ class Oracle:
             if new_len > self.cfg.max_path_length:
                 continue  # out of bounds (TraversalPath.ts:539-545)
             child = Path(
-                seed=parent.seed, head_url=node, head_kind="url",
+                seed=parent.seed, head_url=node, head_kind=head_kind,
                 head_key=node, nodes=new_nodes, predicates=new_preds,
                 status="active", created_round=rnd, seq=self._next_seq(),
                 triple_keys=parent.triple_keys | {tkey},
@@ -379,7 +385,10 @@ class Oracle:
                 children = self._extend_parent(parent, rnd, bf)
                 for c in children:
                     self.paths.append(c)
-                    if c.head_kind == "url":
+                    if c.head_kind == "blank":
+                        # blank heads chain immediately (2-hop join)
+                        next_wave.append(c)
+                    elif c.head_kind == "url":
                         if c.head_url in self.resources:
                             if self.resources[c.head_url]["status"] == "done":
                                 next_wave.append(c)

@@ -1,0 +1,107 @@
+"""The north-rule gate: the Spark engine must reproduce the oracle's
+crawl trace, seen-set, triple-set, and final frontier bit-for-bit
+(BASELINE.json: "matching the reference's crawl ordering and URL-seen
+set under the same seed list + politeness budget")."""
+
+import pytest
+
+from derzis_spark.config import CrawlConfig
+from derzis_spark.engine import CrawlEngine
+from derzis_spark.fixtures import generate_fixture
+from derzis_spark.oracle import run_oracle_on_fixture
+from tests.conftest import fixture_dataframes
+
+
+def oracle_trace_tuples(result):
+    return [(e.round, e.seq, e.url, e.origin, e.status) for e in result.trace]
+
+
+def engine_trace_tuples(trace_df):
+    rows = trace_df.orderBy("round", "seq").collect()
+    return [(r["round"], r["seq"], r["url"], r["origin"], r["status"])
+            for r in rows]
+
+
+def run_both(spark, fx, cfg, max_rounds=None):
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds)
+    return oracle, engine
+
+
+def assert_match(oracle, engine):
+    # 1. exact crawl order
+    assert engine_trace_tuples(engine.trace) == oracle_trace_tuples(oracle)
+    # 2. final URL-seen set (url, origin, status)
+    eng_res = {
+        (r["url"], r["origin"], r["status"])
+        for r in engine.resources.collect()
+    }
+    ora_res = {
+        (u, v["origin"], v["status"]) for u, v in oracle.resources.items()
+    }
+    assert eng_res == ora_res
+    # 3. triple store with source sets
+    eng_tri = {
+        (r["subject"], r["predicate"], r["object_kind"], r["object_value"],
+         r["object_datatype"] or "", r["object_language"] or "",
+         frozenset(r["sources"]))
+        for r in engine.triples.collect()
+    }
+    ora_tri = {
+        k + (frozenset(v["sources"]),) for k, v in oracle.triples.items()
+    }
+    assert eng_tri == ora_tri
+    # 4. final frontier: every path with identical identity + seq
+    eng_paths = {
+        (r["seq"], r["seed"], r["head_kind"], r["head_key"],
+         tuple(r["nodes"]), tuple(r["predicates"]), r["length"],
+         r["status"], r["created_round"])
+        for r in engine.paths.collect()
+    }
+    ora_paths = {
+        (p.seq, p.seed, p.head_kind, p.head_key, p.nodes, p.predicates,
+         p.length, p.status, p.created_round)
+        for p in oracle.paths
+    }
+    assert eng_paths == ora_paths
+    # 5. domain politeness state
+    eng_dom = {
+        (r["origin"], r["status"], r["crawl_delay"], r["next_allowed"])
+        for r in engine.domains.collect()
+    }
+    ora_dom = {
+        (d.origin, d.status, d.crawl_delay, d.next_allowed)
+        for d in oracle.domains.values()
+    }
+    assert eng_dom == ora_dom
+
+
+@pytest.mark.slow
+def test_small_crawl_exact_match(spark):
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=40)
+    oracle, engine = run_both(spark, fx, cfg)
+    assert oracle.rounds == engine.round
+    assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_budget_and_deeper_paths_match(spark):
+    fx = generate_fixture(n_pages=150, n_origins=8, n_seeds=5, seed=7)
+    cfg = CrawlConfig(max_path_length=4, max_path_props=2,
+                      resources_per_domain=1, max_rounds=12)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=12)
+    assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_domain_limit_match(spark):
+    fx = generate_fixture(n_pages=100, n_origins=6, n_seeds=4, seed=3)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=1,
+                      resources_per_domain=2, round_domain_limit=2,
+                      max_rounds=15)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=15)
+    assert_match(oracle, engine)
