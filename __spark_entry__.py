@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship capability — the full round-
+synchronous crawl engine on a deterministic mini fixture — and returns
+its trace. ``queries()`` / ``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline operators;
+DuckDB verifies each against the identical-valued SQL on the parquet
+views. Crawl-engine entries (iterative, multi-round) have no SQL
+equivalent → rows-only checks.
 """
 
 from __future__ import annotations
@@ -13,26 +15,119 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from derzis_spark import queries as Q
+from derzis_spark import pipeline_queries as P
+
+
+def _mini_crawl(spark: SparkSession, n_pages: int = 60) -> DataFrame:
+    """Run the full crawl engine on a deterministic mini fixture and
+    return the trace (round, seq, url, origin, status)."""
+    from derzis_spark import schemas
+    from derzis_spark.config import CrawlConfig
+    from derzis_spark.engine import CrawlEngine
+    from derzis_spark.fixtures import generate_fixture
+
+    fx = generate_fixture(n_pages=n_pages, n_origins=4, n_seeds=3, seed=42)
+    pages = spark.createDataFrame(fx.pages_rows(), schemas.PAGES)
+    robots = spark.createDataFrame(fx.robots_rows(), schemas.ROBOTS)
+    seeds = spark.createDataFrame([(u,) for u in fx.seeds], schemas.SEEDS)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=8)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    return engine.run(seeds, max_rounds=8)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl engine end-to-end (trace of a mini crawl)."""
+    return _mini_crawl(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.1 sources/sinks + §3.1 bootstrap
+        "seed_insert": Q.q_seed_insert,
+        "ntriples_export": Q.q_ntriples_export,
+        # §2.5 priority queue / scheduler
+        "frontier_priority": Q.q_frontier_priority,
+        "per_domain_topk": Q.q_per_domain_topk,
+        "politeness_admission": Q.q_politeness_admission,
+        "additional_resources_topup": Q.q_additional_resources_topup,
+        # §2.3 joins / §2.6 set ops
+        "seen_set_antijoin": Q.q_seen_set_antijoin,
+        "path_extension_join": Q.q_path_extension_join,
+        "domains_rollup": Q.q_domains_rollup,
+        "resource_status_merge": Q.q_resource_status_merge,
+        # §2.2 filters
+        "pred_limitations": Q.q_pred_limitations,
+        "direction_classify": Q.q_direction_classify,
+        "label_language_preference": Q.q_label_language_preference,
+        "blank_node_filter": Q.q_blank_node_filter,
+        # §2.4 aggregations / metrics
+        "head_group_min_distance": Q.q_head_group_min_distance,
+        "branching_factor": Q.q_branching_factor,
+        "global_metrics": Q.q_global_metrics,
+        "avg_path_metrics": Q.q_avg_path_metrics,
+        "crawl_rate_window": Q.q_crawl_rate_window,
+        "domain_queue_counters": Q.q_domain_queue_counters,
+        # §2.7 scalar functions
+        "next_allowed_calc": Q.q_next_allowed_calc,
+        # training-data pipeline: dedup
+        "dedup_exact": P.q_dedup_exact,
+        "minhash_signatures": P.q_minhash_signatures,
+        "minhash_lsh_buckets": P.q_minhash_lsh_buckets,
+        "simhash": P.q_simhash,
+        "jaccard_near_dup": P.q_jaccard_near_dup,
+        # training-data pipeline: similarity
+        "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
+        "ann_lsh_buckets": P.q_ann_lsh_buckets,
+        "embedding_centroids": P.q_embedding_centroids,
+        # training-data pipeline: text analysis
+        "token_count": P.q_token_count,
+        "quality_score": P.q_quality_score,
+        "lang_id": P.q_lang_id,
+        "doc_fingerprint": P.q_doc_fingerprint,
+        # multimodal plumbing (mapInPandas)
+        "multimodal_metadata": P.q_multimodal_metadata,
+        # the crawl engine itself (iterative — rows-only check)
+        "crawl_trace_mini": lambda spark, sf_dir: _mini_crawl(spark),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seed_insert": Q.SQL_SEED_INSERT,
+        "ntriples_export": Q.SQL_NTRIPLES_EXPORT,
+        "frontier_priority": Q.SQL_FRONTIER_PRIORITY,
+        "per_domain_topk": Q.SQL_PER_DOMAIN_TOPK,
+        "politeness_admission": Q.SQL_POLITENESS_ADMISSION,
+        "additional_resources_topup": Q.SQL_ADDITIONAL_TOPUP,
+        "seen_set_antijoin": Q.SQL_SEEN_SET_ANTIJOIN,
+        "path_extension_join": Q.SQL_PATH_EXTENSION_JOIN,
+        "domains_rollup": Q.SQL_DOMAINS_ROLLUP,
+        "resource_status_merge": Q.SQL_RESOURCE_STATUS_MERGE,
+        "pred_limitations": Q.SQL_PRED_LIMITATIONS,
+        "direction_classify": Q.SQL_DIRECTION_CLASSIFY,
+        "label_language_preference": Q.SQL_LABEL_LANGUAGE_PREFERENCE,
+        "blank_node_filter": Q.SQL_BLANK_NODE_FILTER,
+        "head_group_min_distance": Q.SQL_HEAD_GROUP_MIN,
+        "branching_factor": Q.SQL_BRANCHING_FACTOR,
+        "global_metrics": Q.SQL_GLOBAL_METRICS,
+        "avg_path_metrics": Q.SQL_AVG_PATH_METRICS,
+        "crawl_rate_window": Q.SQL_CRAWL_RATE_WINDOW,
+        "domain_queue_counters": Q.SQL_DOMAIN_QUEUE_COUNTERS,
+        "next_allowed_calc": Q.SQL_NEXT_ALLOWED_CALC,
+        "dedup_exact": P.SQL_DEDUP_EXACT,
+        "minhash_signatures": P.SQL_MINHASH_SIGNATURES,
+        "minhash_lsh_buckets": P.SQL_MINHASH_LSH_BUCKETS,
+        "simhash": P.SQL_SIMHASH,
+        "jaccard_near_dup": P.SQL_JACCARD_NEAR_DUP,
+        "ann_bruteforce_cosine": P.SQL_ANN_BRUTEFORCE,
+        "ann_lsh_buckets": P.SQL_ANN_LSH_BUCKETS,
+        "embedding_centroids": P.SQL_EMBEDDING_CENTROIDS,
+        "token_count": P.SQL_TOKEN_COUNT,
+        "quality_score": P.SQL_QUALITY_SCORE,
+        "lang_id": P.SQL_LANG_ID,
+        "doc_fingerprint": P.SQL_DOC_FINGERPRINT,
+        "multimodal_metadata": P.SQL_MULTIMODAL_METADATA,
+        # crawl_trace_mini: intentionally no oracle (iterative engine)
+    }

@@ -1,0 +1,463 @@
+"""Training-data-pipeline operators over ``documents`` / ``embeddings``:
+deduplication (exact, minhash-LSH, simhash, token-Jaccard), similarity
+search (brute-force cosine top-k, LSH-bucketed), text analysis
+(language-ID, quality scoring, token counts, fingerprinting), and the
+multimodal binary-column plumbing stub.
+
+Same dual-expression contract as :mod:`derzis_spark.queries`: every
+operator has a Spark DataFrame callable and a value-identical DuckDB
+oracle SQL (md5 is the cross-engine hash primitive — both produce the
+same lowercase hex, so minhash/simhash signatures match exactly).
+
+Scale notes: pair-producing ops (Jaccard, LSH) are bucketed (by source
+/ band) so candidate pairs stay bounded; the brute-force cosine top-k
+broadcasts the single query vector; all shuffles key on doc_id/band
+hashes (uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from derzis_spark.queries import load
+
+N_MINHASH = 8
+STOPWORDS = ("the", "a")
+
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): keeper = min doc_id
+    per md5(text)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+SQL_DEDUP_EXACT = """
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS keeper_doc_id,
+         COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over token sets: sig_h = min(md5(h || token))
+    for h in 0..7. Cross-engine identical because md5 hex strings
+    compare identically."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("w"))
+    h = spark.range(N_MINHASH).select(F.col("id").alias("h"))
+    return (
+        tokens.crossJoin(h)
+        .groupBy("doc_id", "h")
+        .agg(F.min(F.md5(F.concat(F.col("h").cast("string"),
+                                  F.col("w")).cast("binary"))).alias("sig"))
+    )
+
+SQL_MINHASH_SIGNATURES = f"""
+  SELECT d.doc_id, t.h, MIN(md5(CAST(t.h AS VARCHAR) || u.w)) AS sig
+  FROM documents d,
+       UNNEST(string_split(d.text, ' ')) AS u(w),
+       UNNEST(range(0, {N_MINHASH})) AS t(h)
+  GROUP BY d.doc_id, t.h
+"""
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    """MinHash-LSH banding: band b = concat of 2 consecutive sigs;
+    bucket histogram per (band_id, band_value) with >1 member — the
+    candidate-pair buckets, reported as sizes (scale-safe: avoids the
+    quadratic pair blow-up on near-identical corpora)."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band_id", (F.col("h") / 2).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("sig")))
+             .alias("band_value"))
+    )
+    return (
+        bands.groupBy("band_id", "band_value")
+        .agg(F.count("*").alias("bucket_size"),
+             F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+SQL_MINHASH_LSH_BUCKETS = f"""
+  WITH sigs AS ({SQL_MINHASH_SIGNATURES}),
+  bands AS (
+    SELECT doc_id, CAST(h // 2 AS INT) AS band_id,
+           string_agg(sig, '|' ORDER BY sig) AS band_value
+    FROM sigs GROUP BY doc_id, band_id
+  )
+  SELECT band_id, band_value, COUNT(*) AS bucket_size,
+         MIN(doc_id) AS min_doc_id
+  FROM bands GROUP BY band_id, band_value
+  HAVING COUNT(*) > 1
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (16-bit) over tokens: bit k votes by the parity of hex
+    digit k of md5(token); fingerprint = Σ bit_k·2^k."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("w")) \
+        .withColumn("wh", F.md5(F.col("w").cast("binary")))
+    k = spark.range(16).select(F.col("id").alias("k"))
+    votes = tokens.crossJoin(k).select(
+        "doc_id", "k",
+        F.when(
+            (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.col("wh"), (F.col("k") + 1).cast("int"), 1)
+                     .cast("string")) - 1) % 2 == 1,
+            F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "k").agg(
+        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("k")).cast("long"))
+        .cast("long").alias("simhash"))
+
+SQL_SIMHASH = """
+  WITH tokens AS (
+    SELECT d.doc_id, md5(u.w) AS wh
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(w)
+  ),
+  votes AS (
+    SELECT doc_id, t.k,
+           CASE WHEN (strpos('0123456789abcdef', substr(wh, CAST(t.k + 1 AS INT), 1)) - 1) % 2 = 1
+                THEN 1 ELSE -1 END AS vote
+    FROM tokens, UNNEST(range(0, 16)) AS t(k)
+  ),
+  bits AS (
+    SELECT doc_id, k, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+    FROM votes GROUP BY doc_id, k
+  )
+  SELECT doc_id, CAST(SUM(bit * CAST(POW(2.0, k) AS BIGINT)) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+"""
+
+
+def q_jaccard_near_dup(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs, bucketed by source (candidate
+    pruning keeps pairs O(bucket²), not O(n²)): pairs with J ≥ 0.8."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source",
+                    F.explode(F.array_distinct(_words())).alias("w"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select("source", F.col("doc_id").alias("a"), "w")
+    b = toks.select("source", F.col("doc_id").alias("b"), "w")
+    inter = (
+        a.join(b, ["source", "w"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+SQL_JACCARD_NEAR_DUP = """
+  WITH toks AS (
+    SELECT DISTINCT d.doc_id, d.source, u.w
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(w)
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+  inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+    FROM toks x JOIN toks y ON x.source = y.source AND x.w = y.w
+    WHERE x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+  )
+  SELECT i.a, i.b, i.n_common,
+         ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_ann_bruteforce_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (k=10) against the query vector
+    vec_id=0: the exact baseline for ANN. The query vector broadcasts;
+    the scan is embarrassingly parallel (no shuffle until top-k)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("dot", _dot(F.col("embedding"), F.col("qv")))
+        .withColumn("na", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .withColumn("nb", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+        .withColumn("cosine",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("vec_id") != 0)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "vec_id", "label", "cosine")
+    )
+
+SQL_ANN_BRUTEFORCE = """
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+  scored AS (
+    SELECT e.vec_id, e.label,
+      ROUND(
+        list_aggregate(list_transform(range(1, 65),
+          i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')
+        / (SQRT(list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+         * SQRT(list_aggregate(list_transform(range(1, 65),
+             i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum'))), 4) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+  )
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+         vec_id, label, cosine
+  FROM scored
+  QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH for ANN at scale: 4 deterministic planes
+    (the embeddings of vec_ids 1..4) → 4 sign bits → bucket id; report
+    bucket occupancy (the candidate sets a bucketed ANN probes)."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("embedding").alias("plane"))
+    bits = (
+        e.crossJoin(F.broadcast(planes))
+        .withColumn("bit",
+                    F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
+                    .otherwise(0))
+        .groupBy("vec_id")
+        .agg(F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2.0), F.col("plane_id") - 1).cast("long")
+        ).cast("long").alias("bucket"))
+    )
+    return bits.groupBy("bucket").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("vec_id").alias("min_vec_id"))
+
+SQL_ANN_LSH_BUCKETS = """
+  WITH planes AS (
+    SELECT vec_id AS plane_id, embedding AS plane
+    FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+  ),
+  bits AS (
+    SELECT e.vec_id,
+           CAST(SUM(
+             (CASE WHEN list_aggregate(list_transform(range(1, 65),
+               i -> e.embedding[i]::DOUBLE * p.plane[i]::DOUBLE), 'sum') > 0
+               THEN 1 ELSE 0 END)
+             * CAST(POW(2.0, p.plane_id - 1) AS BIGINT)
+           ) AS BIGINT) AS bucket
+    FROM embeddings e, planes p
+    GROUP BY e.vec_id
+  )
+  SELECT bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+  FROM bits GROUP BY bucket
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid norms (embedding aggregation via posexplode —
+    the map-side-combinable way to average vectors)."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = pos.groupBy("label", "i").agg(
+        F.avg(F.col("v").cast("double")).alias("av"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("av") * F.col("av"))), 4)
+             .alias("centroid_norm"))
+        .join(e.groupBy("label").agg(F.count("*").alias("n_vectors")),
+              "label")
+    )
+
+SQL_EMBEDDING_CENTROIDS = """
+  WITH cent AS (
+    SELECT label, i, AVG(embedding[i + 1]::DOUBLE) AS av
+    FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+    GROUP BY label, i
+  ),
+  norms AS (
+    SELECT label, ROUND(SQRT(SUM(av * av)), 4) AS centroid_norm
+    FROM cent GROUP BY label
+  )
+  SELECT n.label, n.centroid_norm, c.n_vectors
+  FROM norms n JOIN (
+    SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+  ) c ON n.label = c.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.col("n_chars").alias("n_chars"),
+    )
+
+SQL_TOKEN_COUNT = """
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         n_chars
+  FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring (length + stopword-ratio features — the
+    C4/Gopher-style heuristics over the documents table)."""
+    d = load(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) \
+        .cast("double")
+    avg_wlen = (F.length("text") - (F.size(words) - 1)) / F.size(words)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        (F.size(words) >= 10).alias("passes_min_len"),
+    )
+
+SQL_QUALITY_SCORE = """
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the', 'a'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS avg_word_len,
+         len(string_split(text, ' ')) >= 10 AS passes_min_len
+  FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-token voting) compared against the
+    declared lang tag; reports the confusion histogram."""
+    d = load(spark, sf_dir, "documents")
+    words = _words()
+    def hits(*markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    en = hits("the", "a", "and")
+    predicted = F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    return (
+        d.select(F.col("lang").alias("declared"),
+                 predicted.alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+SQL_LANG_ID = """
+  SELECT lang AS declared,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'and'))) > 0
+              THEN 'en' ELSE 'unknown' END AS predicted,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text + duplicate-group stats."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return (
+        d.withColumn("fingerprint", F.md5(norm.cast("binary")))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("group_size"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+SQL_DOC_FINGERPRINT = """
+  SELECT md5(LOWER(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         COUNT(*) AS group_size, MIN(doc_id) AS min_doc_id
+  FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column plumbing (decode stubbed per environment)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal plumbing: treat a binary payload column with typed
+    metadata; 'decode' runs in mapInPandas (Arrow batches). The real
+    image/audio decode is STUBBED (no codec libs in this container) by
+    a deterministic byte-level feature extractor — the Spark-side
+    schema/partitioning/batch plumbing is real."""
+    import pandas as pd
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode_batch(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "fake_width": (n_bytes % 640).astype("int64"),
+                "fake_height": (first.astype("int64") * 3) % 480,
+            })
+
+    return payloads.mapInPandas(
+        decode_batch,
+        "doc_id long, n_bytes long, fake_width long, fake_height long")
+
+SQL_MULTIMODAL_METADATA = """
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+         CAST((ord(substr(text, 1, 1)) * 3) % 480 AS BIGINT) AS fake_height
+  FROM documents
+"""
