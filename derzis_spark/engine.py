@@ -47,7 +47,8 @@ from derzis_spark.storage import SnapshotStore
 
 
 def build_session(app: str = "derzis-spark", cores: str | int = "*",
-                  shuffle_partitions: int = 32) -> SparkSession:
+                  shuffle_partitions: int = 32,
+                  adaptive: bool = True) -> SparkSession:
     # make the package importable in executor python workers regardless
     # of the driver's cwd (on a real cluster this is spark-submit
     # --py-files derzis_spark.zip instead)
@@ -60,7 +61,7 @@ def build_session(app: str = "derzis-spark", cores: str | int = "*",
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -83,6 +84,18 @@ def _object_key_col():
     ).otherwise(F.col("object_value"))
 
 
+def _semi_filter(spark, df, col: str, values: list, threshold: int = 4096):
+    """Membership filter that stays plan-friendly: literal isin for
+    small sets (cheap to compile, no exchange), broadcast semi-join
+    beyond the threshold (bounded plan size at cluster scale)."""
+    if not values:
+        return df.filter(F.lit(False))
+    if len(values) <= threshold:
+        return df.filter(F.col(col).isin(list(values)))
+    vals_df = spark.createDataFrame([(v,) for v in values], f"{col} string")
+    return df.join(F.broadcast(vals_df), col)
+
+
 class CrawlEngine:
     """Round-synchronous BSP crawl over Spark DataFrames."""
 
@@ -99,6 +112,7 @@ class CrawlEngine:
         self.round = 0
         self.seq_counter = 0
         self._bloom: BloomFilter | None = None
+        self._bloom_bc = None
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -432,8 +446,11 @@ class CrawlEngine:
         number inserted. The anti-join is the scale path; the Bloom
         pre-pass routes definitely-new URLs around it."""
         if self.cfg.use_bloom and self._bloom is not None:
+            if self._bloom_bc is None:
+                self._bloom_bc = self.spark.sparkContext.broadcast(
+                    self._bloom)
             definitely_new, maybe_seen = split_by_bloom(
-                self.spark, urls, "url", self._bloom)
+                self.spark, urls, "url", self._bloom, bc=self._bloom_bc)
             genuinely_new = maybe_seen.join(
                 self.resources.select("url"), "url", "left_anti")
             new_urls = definitely_new.unionByName(genuinely_new)
@@ -443,9 +460,11 @@ class CrawlEngine:
         new_res = new_urls.withColumn(
             "origin", udfs.url_origin(F.col("url"))
         ).select("url", "origin", F.lit("unvisited").alias("status"))
-        new_res.cache()
-        n = new_res.count()
-        if n == 0:
+        # eager checkpoint: one action materializes the anti-join once;
+        # everything downstream (union, snapshot) reuses the result
+        new_res = new_res.localCheckpoint(eager=True)
+        rows = new_res.collect()
+        if not rows:
             return 0
         self.resources = self.resources.unionByName(new_res)
         new_doms = (
@@ -462,9 +481,10 @@ class CrawlEngine:
         )
         self.domains = self.domains.unionByName(new_doms)
         if self._bloom is not None:
-            for row in new_res.select("url").collect():
+            for row in rows:
                 self._bloom.add(row["url"])
-        return n
+            self._bloom_bc = None  # invalidate the cached broadcast
+        return len(rows)
 
     # ------------------------------------------------------------------
     # path extension (TraversalPath.ts:219-399 as joins/windows)
@@ -540,10 +560,19 @@ class CrawlEngine:
 
     def _extend(self, rnd: int, fetched_done: list[str]) -> int:
         """Within-round extension cascade (oracle `_extend_round`).
-        ``fetched_done`` is this round's successfully fetched URLs
-        (small: bounded by the schedule)."""
+
+        Wave 1 parents come from the frontier table; wave k>1 parents
+        are exactly the children created in wave k-1 whose heads are
+        already fetched (or blank) — so the frontier table is touched
+        ONCE at the end (one deleted-marking join + one union of the
+        per-wave children), not once per wave."""
         total_children = 0
-        wave_heads = list(fetched_done)
+        parents = _semi_filter(
+            self.spark,
+            self.paths.filter(
+                (F.col("status") == "active")
+                & F.col("head_kind").isin("url", "blank")),
+            "head_url", list(fetched_done))
         ends = self._triple_ends()
         ends.cache()
         bf = None
@@ -553,16 +582,16 @@ class CrawlEngine:
                 F.countDistinct("subject").alias("bf_subj"),
                 F.countDistinct("okey").alias("bf_obj"),
             ).withColumnRenamed("predicate", "pred")
+        all_children: list[DataFrame] = []
+        extended_seqs: set[int] = set()
         guard = 0
-        while wave_heads and guard < 100:
+        while guard < 100:
             guard += 1
-            parents = self.paths.filter(
-                (F.col("status") == "active")
-                & F.col("head_kind").isin("url", "blank")
-                & F.col("head_url").isin(wave_heads)
-            )
             children = self._extend_wave(rnd, parents, ends, bf)
-            children.cache()
+            # eager local checkpoint: truncates the window/join lineage
+            # of this wave immediately, so everything downstream (next
+            # wave, final union, snapshot) reuses materialized rows
+            children = children.localCheckpoint(eager=True)
             child_rows = children.select(
                 "head_kind", "head_url", "parent_seq").collect()
             n = len(child_rows)
@@ -570,36 +599,26 @@ class CrawlEngine:
                 break
             total_children += n
             self.seq_counter += n
-            extended_seqs = sorted({r["parent_seq"] for r in child_rows})
-            self.paths = (
-                self.paths.withColumn(
-                    "status",
-                    F.when(F.col("seq").isin(extended_seqs),
-                           F.lit("deleted")).otherwise(F.col("status")))
-            )
-            new_paths = children.select(
-                "seed", "head_url", "head_kind", "head_key", "nodes",
-                "predicates", "length", "status", "created_round", "seq")
-            self.paths = self.paths.unionByName(new_paths)
+            all_children.append(children)
+            extended_seqs.update(int(r["parent_seq"]) for r in child_rows)
             # register unseen child heads as resources
             #   (oracle `_add_resource` during extension — normally a
             #   no-op because discovery already registered all triple
-            #   nodes, so probe membership first and only run the full
-            #   insert when something is actually missing)
+            #   nodes, so probe membership first)
             url_heads = sorted({
                 r["head_url"] for r in child_rows if r["head_kind"] == "url"
             })
             done_heads: list[str] = []
             if url_heads:
-                known = self.resources.filter(
-                    F.col("url").isin(url_heads)
+                known = _semi_filter(
+                    self.spark, self.resources, "url", url_heads
                 ).select("url", "status").collect()
                 known_urls = {r["url"] for r in known}
                 missing = [u for u in url_heads if u not in known_urls]
                 if missing:
-                    heads_df = self.spark.createDataFrame(
+                    miss_df = self.spark.createDataFrame(
                         [(u,) for u in missing], "url string")
-                    self._insert_new_urls(heads_df)
+                    self._insert_new_urls(miss_df)
                 done_heads = [r["url"] for r in known
                               if r["status"] == "done"]
             # next wave: blank heads chain immediately; url heads whose
@@ -607,7 +626,40 @@ class CrawlEngine:
             blank_heads = [
                 r["head_url"] for r in child_rows if r["head_kind"] == "blank"
             ]
-            wave_heads = sorted(set(blank_heads) | set(done_heads))
+            next_heads = sorted(set(blank_heads) | set(done_heads))
+            if not next_heads:
+                break
+            parents = _semi_filter(
+                self.spark, children, "head_url", next_heads)
+        if total_children:
+            seqs = sorted(extended_seqs)
+            if len(seqs) <= 4096:
+                def mark_deleted(df):
+                    return df.withColumn(
+                        "status",
+                        F.when(F.col("seq").isin(seqs), F.lit("deleted"))
+                        .otherwise(F.col("status")))
+            else:
+                ext_df = self.spark.createDataFrame(
+                    [(x, True) for x in seqs],
+                    "seq long, was_extended boolean")
+                def mark_deleted(df):
+                    return (
+                        df.join(F.broadcast(ext_df), "seq", "left")
+                        .withColumn(
+                            "status",
+                            F.when(F.col("was_extended"), F.lit("deleted"))
+                            .otherwise(F.col("status")))
+                        .drop("was_extended"))
+            cols = ["seed", "head_url", "head_kind", "head_key", "nodes",
+                    "predicates", "length", "status", "created_round", "seq"]
+            new_paths = all_children[0].select(cols)
+            for extra in all_children[1:]:
+                new_paths = new_paths.unionByName(extra.select(cols))
+            # children extended in a later wave of this cascade are
+            # already deleted, so the marking applies to them too
+            self.paths = mark_deleted(self.paths).unionByName(
+                mark_deleted(new_paths))
         return total_children
 
     def _extend_wave(self, rnd: int, parents: DataFrame, ends: DataFrame,

@@ -152,19 +152,23 @@ class CuckooFilter:
         return False
 
 
-def split_by_bloom(spark, candidates, url_col: str, bloom: BloomFilter):
+def split_by_bloom(spark, candidates, url_col: str, bloom: BloomFilter,
+                   bc=None):
     """Partition candidate URLs into (definitely_new, maybe_seen) using a
     broadcast Bloom filter inside an Arrow-batched UDF.
 
     ``definitely_new`` rows skip the exact anti-join; only ``maybe_seen``
     (dupes + fpp false positives) join against the seen-set table.
+    Pass ``bc`` (a Broadcast of the same filter) to reuse an existing
+    broadcast across calls.
     """
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
-    bc = spark.sparkContext.broadcast(bloom)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(bloom)
 
     @pandas_udf(BooleanType())
     def _might_contain(urls: pd.Series) -> pd.Series:
