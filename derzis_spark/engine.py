@@ -84,10 +84,37 @@ def _object_key_col():
     ).otherwise(F.col("object_value"))
 
 
-def _semi_filter(spark, df, col: str, values: list, threshold: int = 4096):
+_ENDS_SCHEMA = ("end string, dir_rank int, pred string, "
+                "node_kind string, node_raw string, node_key string, "
+                "node_c string")
+
+
+def _edge_rows_for_key(key: tuple) -> list[tuple]:
+    """Edges of one triple key — the driver-side mirror of
+    `_triple_ends` (bit-identical: same core canonicalizer the Arrow
+    UDFs wrap)."""
+    from derzis_spark.functions.core import canonicalize_url as _canon
+
+    subject, predicate, okind, ovalue, odt, olang = key
+    if okind == "literal":
+        node_key = f"{ovalue}|{odt or ''}|{olang or ''}"
+    else:
+        node_key = ovalue
+    out = []
+    if not (okind == "uri" and ovalue == subject):
+        node_c = _canon(ovalue) if okind == "uri" else ovalue
+        out.append((subject, 0, predicate, okind, ovalue, node_key, node_c))
+    if okind == "uri" and subject != ovalue:
+        out.append((ovalue, 1, predicate, "uri", subject, subject,
+                    _canon(subject)))
+    return out
+
+
+def _semi_filter(spark, df, col: str, values: list, threshold: int = 64):
     """Membership filter that stays plan-friendly: literal isin for
     small sets (cheap to compile, no exchange), broadcast semi-join
-    beyond the threshold (bounded plan size at cluster scale)."""
+    beyond the threshold (large IN-lists inflate codegen and per-task
+    predicate evaluation; a broadcast hash probe does not)."""
     if not values:
         return df.filter(F.lit(False))
     if len(values) <= threshold:
@@ -113,6 +140,29 @@ class CrawlEngine:
         self.seq_counter = 0
         self._bloom: BloomFilter | None = None
         self._bloom_bc = None
+        # Driver-side mirrors of per-round-bounded state. The engine
+        # already collects every newly inserted URL (to feed the Bloom
+        # filter) and every trace row, so keeping these exact sets costs
+        # no extra Spark work and lets the extension cascade and the
+        # robots/fetch gates run without launching a job per wave. At
+        # true 10^10 scale the authoritative copies are the distributed
+        # tables (the wave probe degrades to a bucketed isin probe); the
+        # domain-keyed caches are dimension-sized (reference keeps the
+        # same robots cache per domain, models/src/Domain.ts:117-150).
+        self._seen_urls: set[str] = set()
+        self._done_urls: set[str] = set()
+        self._known_origins: set[str] = set()
+        self._robots_cache: dict[str, str] = {}
+        self._unvisited_domains = 0
+        self._found_cache: DataFrame | None = None
+        self._wave_caches: list[DataFrame] = []
+        # incremental edge view for path extension: rebuilt-from-scratch
+        # would re-scan (and re-canonicalize) the whole triple store
+        # every round; instead edges of the round's NEW triple keys are
+        # appended (the per-round key set is collected anyway for the
+        # merge, and edge construction is a pure per-key function)
+        self.ends: DataFrame | None = None
+        self._triple_keys: set[tuple] = set()
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -144,35 +194,28 @@ class CrawlEngine:
             .withColumn("seq", F.row_number().over(w) - F.lit(1))
             .drop("file_order")
             .withColumn("origin", udfs.url_origin(F.col("url")))
-        )
-        seed_rows.cache()
-        self.resources = seed_rows.select(
-            "url", "origin", F.lit("unvisited").alias("status"))
-        self.domains = (
-            seed_rows.select("origin").distinct().select(
-                "origin",
-                F.lit("unvisited").alias("status"),
-                F.lit(None).cast("string").alias("robots_status"),
-                F.lit("").alias("robots_txt"),
-                F.lit(self.cfg.default_crawl_delay).cast("int").alias("crawl_delay"),
-                F.lit(0).cast("int").alias("next_allowed"),
-            )
-        )
-        self.paths = seed_rows.select(
-            F.col("url").alias("seed"),
-            F.col("url").alias("head_url"),
-            F.lit("url").alias("head_kind"),
-            F.col("url").alias("head_key"),
-            F.array(F.col("url")).alias("nodes"),
-            F.array().cast("array<string>").alias("predicates"),
-            F.lit(1).alias("length"),
-            F.lit("active").alias("status"),
-            F.lit(0).alias("created_round"),
-            F.col("seq").cast("long").alias("seq"),
-        )
+        ).collect()  # one job; O(seed list) by definition
+        self._seen_urls = {r["url"] for r in seed_rows}
+        self._done_urls = set()
+        self._known_origins = {r["origin"] for r in seed_rows}
+        self._robots_cache = {}
+        self._unvisited_domains = len(self._known_origins)
+        self.resources = self.spark.createDataFrame(
+            [(r["url"], r["origin"], "unvisited") for r in seed_rows],
+            schemas.RESOURCES)
+        self.domains = self.spark.createDataFrame(
+            [(o, "unvisited", None, "", self.cfg.default_crawl_delay, 0)
+             for o in sorted(self._known_origins)],
+            schemas.DOMAINS)
+        self.paths = self.spark.createDataFrame(
+            [(r["url"], r["url"], "url", r["url"], [r["url"]], [],
+              1, "active", 0, int(r["seq"])) for r in seed_rows],
+            schemas.PATHS)
         self.triples = self.spark.createDataFrame([], schemas.TRIPLES)
+        self.ends = self.spark.createDataFrame([], _ENDS_SCHEMA)
+        self._triple_keys = set()
         self._trace_rows = []
-        self.seq_counter = seed_rows.count()
+        self.seq_counter = len(seed_rows)
         self.round = 0
         if self.store:
             self._commit({"phase": "bootstrap"})
@@ -197,6 +240,28 @@ class CrawlEngine:
         ]
         self.round = manifest["round"]
         self.seq_counter = manifest["seq_counter"]
+        # rebuild the driver-side mirrors from the snapshot
+        res_rows = self.resources.select("url", "status").collect()
+        self._seen_urls = {r["url"] for r in res_rows}
+        self._done_urls = {r["url"] for r in res_rows
+                           if r["status"] == "done"}
+        dom_rows = self.domains.select(
+            "origin", "status", "robots_txt").collect()
+        self._known_origins = {r["origin"] for r in dom_rows}
+        self._unvisited_domains = sum(
+            1 for r in dom_rows if r["status"] == "unvisited")
+        self._robots_cache = {
+            r["origin"]: (r["robots_txt"] or "") for r in dom_rows
+            if r["status"] != "unvisited"
+        }
+        # rebuild the edge view + key set once from the triple store
+        # (a full scan at resume, then incremental again)
+        self.ends = self._triple_ends().localCheckpoint(eager=True)
+        self._triple_keys = {
+            tuple(r) for r in self.triples.select(
+                "subject", "predicate", "object_kind", "object_value",
+                "object_datatype", "object_language").collect()
+        }
 
     def _commit(self, metrics: dict) -> None:
         self.store.commit(
@@ -215,13 +280,29 @@ class CrawlEngine:
         self.domains = tables["domains"]
         self.paths = tables["paths"]
         self.triples = tables["triples"]
+        self.ends = self.ends.localCheckpoint(eager=True)
+        for c in self._wave_caches:
+            c.unpersist()
+        self._wave_caches = []
 
     def _checkpoint_local(self) -> None:
-        """Lineage truncation when running without a snapshot store."""
-        self.resources = self.resources.localCheckpoint(eager=True)
-        self.domains = self.domains.localCheckpoint(eager=True)
-        self.paths = self.paths.localCheckpoint(eager=True)
-        self.triples = self.triples.localCheckpoint(eager=True)
+        """Lineage truncation when running without a snapshot store.
+        The four tables are independent, so their materialization jobs
+        run concurrently (Spark's scheduler is thread-safe; on a real
+        cluster these are the parallel MERGE commits of the round)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        tables = ["resources", "domains", "paths", "triples", "ends"]
+        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+            futs = {
+                t: ex.submit(getattr(self, t).localCheckpoint, eager=True)
+                for t in tables
+            }
+            for t, fut in futs.items():
+                setattr(self, t, fut.result())
+        for c in self._wave_caches:
+            c.unpersist()
+        self._wave_caches = []
 
     # ------------------------------------------------------------------
     # per-round pieces
@@ -251,6 +332,8 @@ class CrawlEngine:
     def _phase_robots(self, rnd: int, eligible: DataFrame) -> int:
         """Robots checks for unvisited domains with eligible paths.
         Returns the number of domains checked; updates self.domains."""
+        if self._unvisited_domains == 0:
+            return 0  # no job at all on settled rounds
         dom = self.domains.select(
             "origin", F.col("status").alias("dom_status"))
         cand = (
@@ -277,12 +360,22 @@ class CrawlEngine:
             F.when(F.col("new_robots_status") == "host_not_found",
                    F.lit("error")).otherwise(F.lit("ready")),
         ).withColumn(
+            # error domains are never admitted, so their politeness
+            # clock is untouched (oracle: host_not_found → continue)
             "new_next_allowed",
-            F.lit(rnd) + F.col("new_crawl_delay"),
+            F.when(F.col("new_dom_status") == "error", F.lit(None))
+            .otherwise(F.lit(rnd) + F.col("new_crawl_delay")),
         )
         rows = updates.collect()  # O(#unvisited domains this round)
         if rows:
-            upd_df = self.spark.createDataFrame(rows)
+            self._unvisited_domains -= len(rows)
+            for r in rows:
+                self._robots_cache[r["origin"]] = r["new_robots_txt"] or ""
+            upd_df = self.spark.createDataFrame(
+                [tuple(r) for r in rows],
+                "origin string, new_robots_status string, "
+                "new_robots_txt string, new_crawl_delay int, "
+                "new_dom_status string, new_next_allowed int")
             self.domains = (
                 self.domains.join(F.broadcast(upd_df), "origin", "left")
                 .select(
@@ -349,19 +442,22 @@ class CrawlEngine:
         parsing are Arrow UDFs on executors."""
         from derzis_spark.functions.core import robots_allows as _allows
 
-        dom_rows = {
-            r["origin"]: r for r in
-            self.domains.select("origin", "robots_txt", "crawl_delay")
-            .join(
-                F.broadcast(self.spark.createDataFrame(
-                    [(r["origin"],) for r in sched_rows], "origin string"
-                ).distinct()), "origin").collect()
-        }
+        # robots texts come from the driver cache (filled when the domain
+        # was robots-checked; a scheduled domain is always 'ready', so a
+        # miss only happens right after resume — backfill in one job)
+        missing = sorted({r["origin"] for r in sched_rows
+                          if r["origin"] not in self._robots_cache})
+        if missing:
+            for r in self.domains.select("origin", "robots_txt").join(
+                    F.broadcast(self.spark.createDataFrame(
+                        [(o,) for o in missing], "origin string")),
+                    "origin").collect():
+                self._robots_cache[r["origin"]] = r["robots_txt"] or ""
         trace: list[tuple] = []
         attempted: list[tuple[str, str]] = []  # (url, origin)
         for rseq, r in enumerate(sched_rows):
             url, origin = r["head_url"], r["origin"]
-            txt = dom_rows[origin]["robots_txt"]
+            txt = self._robots_cache.get(origin, "")
             if not _allows(txt, url, self.cfg.user_agent):
                 trace.append((rnd, rseq, url, origin, "error:disallowed"))
             else:
@@ -375,6 +471,7 @@ class CrawlEngine:
                 udfs.parse_page_triples(F.col("html")).alias("raw_triples"),
             )
             found.cache()
+            self._found_cache = found  # unpersisted at round end
             found_urls = {
                 r["url"] for r in found.select("url").collect()
             }
@@ -425,6 +522,18 @@ class CrawlEngine:
             .agg(F.sort_array(F.array_distinct(
                 F.flatten(F.collect_list("sources")))).alias("sources"))
         )
+        # incremental edge-view maintenance: O(round's new keys) only
+        key_rows = quads.select(*key).distinct().collect()
+        edge_rows: list[tuple] = []
+        for r in key_rows:
+            k = tuple(r)
+            if k in self._triple_keys:
+                continue
+            self._triple_keys.add(k)
+            edge_rows.extend(_edge_rows_for_key(k))
+        if edge_rows:
+            self.ends = self.ends.unionByName(
+                self.spark.createDataFrame(edge_rows, _ENDS_SCHEMA))
 
     def _discover_urls(self, quads: DataFrame) -> None:
         """New-URL discovery (Resource.addFromTriples,
@@ -460,26 +569,27 @@ class CrawlEngine:
         new_res = new_urls.withColumn(
             "origin", udfs.url_origin(F.col("url"))
         ).select("url", "origin", F.lit("unvisited").alias("status"))
-        # eager checkpoint: one action materializes the anti-join once;
-        # everything downstream (union, snapshot) reuses the result
-        new_res = new_res.localCheckpoint(eager=True)
+        # one job: the collected rows feed the Bloom filter + driver
+        # mirrors anyway, so rebuild the insert batch locally instead of
+        # paying a second materialization
         rows = new_res.collect()
         if not rows:
             return 0
-        self.resources = self.resources.unionByName(new_res)
-        new_doms = (
-            new_res.select("origin").distinct()
-            .join(self.domains.select("origin"), "origin", "left_anti")
-            .select(
-                "origin", F.lit("unvisited").alias("status"),
-                F.lit(None).cast("string").alias("robots_status"),
-                F.lit("").alias("robots_txt"),
-                F.lit(self.cfg.default_crawl_delay).cast("int")
-                 .alias("crawl_delay"),
-                F.lit(0).cast("int").alias("next_allowed"),
-            )
-        )
-        self.domains = self.domains.unionByName(new_doms)
+        self.resources = self.resources.unionByName(
+            self.spark.createDataFrame(
+                [(r["url"], r["origin"], r["status"]) for r in rows],
+                schemas.RESOURCES))
+        self._seen_urls.update(r["url"] for r in rows)
+        new_origins = sorted(
+            {r["origin"] for r in rows} - self._known_origins)
+        if new_origins:
+            self.domains = self.domains.unionByName(
+                self.spark.createDataFrame(
+                    [(o, "unvisited", None, "",
+                      self.cfg.default_crawl_delay, 0)
+                     for o in new_origins], schemas.DOMAINS))
+            self._known_origins.update(new_origins)
+            self._unvisited_domains += len(new_origins)
         if self._bloom is not None:
             for row in rows:
                 self._bloom.add(row["url"])
@@ -515,7 +625,14 @@ class CrawlEngine:
             F.col("subject").alias("node_raw"),
             F.col("subject").alias("node_key"),
         )
-        return fwd.unionByName(bwd)
+        # canonicalize once here (cached for the round) so the per-wave
+        # jobs stay whole-stage-codegen JVM plans with no Python UDF
+        return fwd.unionByName(bwd).withColumn(
+            "node_c",
+            F.when(F.col("node_kind") == "uri",
+                   udfs.canonicalize_url(F.col("node_raw")))
+            .otherwise(F.col("node_raw")),
+        )
 
     def _pred_limit_filter(self, cand: DataFrame) -> DataFrame:
         """Predicate allow/deny (genTraversalPathQuery semantics,
@@ -573,8 +690,7 @@ class CrawlEngine:
                 (F.col("status") == "active")
                 & F.col("head_kind").isin("url", "blank")),
             "head_url", list(fetched_done))
-        ends = self._triple_ends()
-        ends.cache()
+        ends = self.ends
         bf = None
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
@@ -588,10 +704,12 @@ class CrawlEngine:
         while guard < 100:
             guard += 1
             children = self._extend_wave(rnd, parents, ends, bf)
-            # eager local checkpoint: truncates the window/join lineage
-            # of this wave immediately, so everything downstream (next
-            # wave, final union, snapshot) reuses materialized rows
-            children = children.localCheckpoint(eager=True)
+            # cache + collect is ONE job: the collect materializes the
+            # cached wave result, which the next wave / final union then
+            # reuse; the round-end checkpoint truncates lineage and the
+            # caches are dropped after it
+            children.cache()
+            self._wave_caches.append(children)
             child_rows = children.select(
                 "head_kind", "head_url", "parent_seq").collect()
             n = len(child_rows)
@@ -603,24 +721,22 @@ class CrawlEngine:
             extended_seqs.update(int(r["parent_seq"]) for r in child_rows)
             # register unseen child heads as resources
             #   (oracle `_add_resource` during extension — normally a
-            #   no-op because discovery already registered all triple
-            #   nodes, so probe membership first)
+            #   no-op because discovery already registered every triple
+            #   node; the driver's exact seen/done mirrors decide the
+            #   wave without a probe job)
             url_heads = sorted({
                 r["head_url"] for r in child_rows if r["head_kind"] == "url"
             })
             done_heads: list[str] = []
             if url_heads:
-                known = _semi_filter(
-                    self.spark, self.resources, "url", url_heads
-                ).select("url", "status").collect()
-                known_urls = {r["url"] for r in known}
-                missing = [u for u in url_heads if u not in known_urls]
+                missing = [u for u in url_heads
+                           if u not in self._seen_urls]
                 if missing:
                     miss_df = self.spark.createDataFrame(
                         [(u,) for u in missing], "url string")
                     self._insert_new_urls(miss_df)
-                done_heads = [r["url"] for r in known
-                              if r["status"] == "done"]
+                done_heads = [u for u in url_heads
+                              if u in self._done_urls]
             # next wave: blank heads chain immediately; url heads whose
             # resource is already done re-extend against the store
             blank_heads = [
@@ -633,7 +749,7 @@ class CrawlEngine:
                 self.spark, children, "head_url", next_heads)
         if total_children:
             seqs = sorted(extended_seqs)
-            if len(seqs) <= 4096:
+            if len(seqs) <= 64:
                 def mark_deleted(df):
                     return df.withColumn(
                         "status",
@@ -664,13 +780,15 @@ class CrawlEngine:
 
     def _extend_wave(self, rnd: int, parents: DataFrame, ends: DataFrame,
                      bf: DataFrame | None) -> DataFrame:
-        cand = parents.select(
+        # parents are bounded by the round budget; ends is the
+        # store-sized side — broadcast parents so ends never shuffles
+        cand = F.broadcast(parents.select(
             F.col("seed"), F.col("head_url").alias("p_head"),
             F.col("nodes"), F.col("predicates"),
             F.col("length").alias("p_length"),
             F.col("created_round").alias("p_created"),
             F.col("seq").alias("parent_seq"),
-        ).join(ends, F.col("p_head") == F.col("end"))
+        )).join(ends, F.col("p_head") == F.col("end"))
         # cycle rule: predicate == head.url (TraversalPath.ts:408-449)
         cand = cand.filter(F.col("pred") != F.col("p_head"))
         # dedup one child per (parent, predicate, node_key), prefer
@@ -700,14 +818,8 @@ class CrawlEngine:
                    F.col("predicates"))
             .otherwise(F.concat("predicates", F.array(F.col("pred")))),
         ).filter(F.size("new_predicates") <= self.cfg.max_path_props)
-        # resolve node per kind
+        # resolve node per kind (node_c pre-canonicalized in _triple_ends)
         allow_blank = self.cfg.allow_blank_nodes
-        cand = cand.withColumn(
-            "node_c",
-            F.when(F.col("node_kind") == "uri",
-                   udfs.canonicalize_url(F.col("node_raw")))
-            .otherwise(F.col("node_raw")),
-        )
         uri_ok = (F.col("node_kind") == "uri") & F.col("node_c").isNotNull() \
             & ~F.array_contains("nodes", F.col("node_c")) \
             & (F.col("p_length") + 1 <= self.cfg.max_path_length)
@@ -775,16 +887,25 @@ class CrawlEngine:
             if n_sched:
                 trace, quads = self._phase_fetch(rnd, sched_rows)
                 self._trace_rows.extend(trace)
+                self._done_urls.update(
+                    t[2] for t in trace if t[4] == "done")
                 # politeness charge: attempted fetches bump next_allowed
                 # (oracle: next_allowed = rnd + crawl_delay per access)
                 charged = sorted({
                     t[3] for t in trace if t[4] != "error:disallowed"})
                 if charged:
-                    self.domains = self.domains.withColumn(
-                        "next_allowed",
-                        F.when(F.col("origin").isin(charged),
-                               F.lit(rnd) + F.col("crawl_delay"))
-                        .otherwise(F.col("next_allowed")).cast("int"))
+                    chg_df = self.spark.createDataFrame(
+                        [(o, True) for o in charged],
+                        "origin string, charged boolean")
+                    self.domains = (
+                        self.domains
+                        .join(F.broadcast(chg_df), "origin", "left")
+                        .withColumn(
+                            "next_allowed",
+                            F.when(F.col("charged"),
+                                   F.lit(rnd) + F.col("crawl_delay"))
+                            .otherwise(F.col("next_allowed")).cast("int"))
+                        .drop("charged"))
                 # resource status updates
                 res_up = self.spark.createDataFrame(
                     [(t[2], "done" if t[4] == "done" else "error")
@@ -804,6 +925,12 @@ class CrawlEngine:
                 n_done = len(fetched_done)
                 if fetched_done:
                     self._extend(rnd, fetched_done)
+                if quads is not None:
+                    quads.unpersist()
+                if self._found_cache is not None:
+                    self._found_cache.unpersist()
+                    self._found_cache = None
+            eligible.unpersist()
             metrics = {
                 "round": rnd, "scheduled": n_sched,
                 "robots_checked": n_robots, "fetched_done": n_done,
