@@ -42,6 +42,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return _mini_crawl(spark)
 
 
+def _batch_fetch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-round fetch+extract per-page stats on a deterministic
+    fixture (operators/batch_fetch.py — the single-job 10^10-scale
+    regime benchmarked by ``bench.py --scaling``)."""
+    from derzis_spark import schemas
+    from derzis_spark.fixtures import generate_fixture
+    from derzis_spark.operators.batch_fetch import fetch_extract_stats
+
+    fx = generate_fixture(n_pages=200, n_origins=8, n_seeds=4, seed=5)
+    pages = spark.createDataFrame(fx.pages_rows(), schemas.PAGES)
+    robots = spark.createDataFrame(fx.robots_rows(), schemas.ROBOTS)
+    from derzis_spark.functions import core
+    frontier = spark.createDataFrame(
+        [(u, core.url_origin(u)) for u in fx.urls],
+        "url string, origin string")
+    return fetch_extract_stats(spark, frontier, pages, robots)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.1 sources/sinks + §3.1 bootstrap
@@ -90,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": P.q_multimodal_metadata,
         # the crawl engine itself (iterative — rows-only check)
         "crawl_trace_mini": lambda spark, sf_dir: _mini_crawl(spark),
+        # mega-round fetch+extract batch (UDF pipeline — rows-only)
+        "fetch_extract_batch": _batch_fetch_stats,
     }
 
 

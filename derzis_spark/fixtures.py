@@ -101,6 +101,8 @@ def generate_fixture(
     ghost_rate: float = 0.05,
     literal_rate: float = 0.5,
     blank_rate: float = 0.1,
+    text_words: tuple = (8, 40),
+    min_links: int = 1,
 ) -> CrawlFixture:
     rng = random.Random(seed)
     fx = CrawlFixture()
@@ -130,11 +132,19 @@ def generate_fixture(
     base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
     for j, url in enumerate(urls):
-        text = " ".join(rng.choices(_WORDS, k=rng.randint(8, 40)))
+        n_words = rng.randint(*text_words)
+        if n_words <= 64:
+            text = " ".join(rng.choices(_WORDS, k=n_words))
+        else:
+            # big pages (scaling fixtures): tile a random 64-word chunk
+            # — same determinism, O(1) RNG draws per page
+            chunk = rng.choices(_WORDS, k=64)
+            reps = -(-n_words // 64)
+            text = " ".join((chunk * reps)[:n_words])
         lang = rng.choice(_LANGS)
         triples: list[Triple] = []
         # outlinks as uri triples
-        k = rng.randint(1, out_links)
+        k = rng.randint(min(min_links, out_links), out_links)
         for _ in range(k):
             if ghosts and rng.random() < 0.1:
                 target = rng.choice(ghosts)
@@ -216,7 +226,9 @@ def write_fixture_parquet(fx: CrawlFixture, out_dir: str) -> None:
             "lang": fx.lang,
         }
     )
-    pq.write_table(pages, f"{out_dir}/pages.parquet")
+    # small row groups keep the single file splittable into many Spark
+    # input partitions (one giant row group = one scan task)
+    pq.write_table(pages, f"{out_dir}/pages.parquet", row_group_size=4096)
     robots = pa.table(
         {
             "origin": fx.robots_origin,

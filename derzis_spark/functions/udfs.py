@@ -57,6 +57,38 @@ def parse_page_triples(html: pd.Series) -> pd.Series:
     return html.map(one, na_action="ignore")
 
 
+def make_page_stats(allow_blank_nodes: bool = False):
+    """Fused per-page fetch+extract kernel: text extraction, N-Triples
+    parse, quad-validity filter, and out-node canonicalization+dedup in
+    one Arrow batch pass (struct result). Used by the mega-round batch
+    job so the plan needs no row-multiplying explode between UDF
+    stages."""
+    @pandas_udf("text_len int, n_raw int, n_valid int, n_out_nodes int")
+    def page_stats(html: pd.Series) -> pd.DataFrame:
+        def one(h):
+            text = core.extract_text(h)
+            ts = core.parse_ntriples(core.extract_ntriples_block(h))
+            n_valid = 0
+            nodes = set()
+            for t in ts:
+                if t.object_value == "" or (
+                    not allow_blank_nodes
+                    and (t.subject.startswith("_:")
+                         or t.object_kind == "blank")
+                ):
+                    continue
+                n_valid += 1
+                if t.object_kind == "uri":
+                    c = core.canonicalize_url(t.object_value)
+                    if c is not None:
+                        nodes.add(c)
+            return (len(text), len(ts), n_valid, len(nodes))
+        rows = [one(h) for h in html]
+        return pd.DataFrame(
+            rows, columns=["text_len", "n_raw", "n_valid", "n_out_nodes"])
+    return page_stats
+
+
 def make_robots_allows(user_agent: str):
     @pandas_udf(BooleanType())
     def robots_allows(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
