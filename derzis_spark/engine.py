@@ -304,6 +304,44 @@ class CrawlEngine:
             c.unpersist()
         self._wave_caches = []
 
+    def reset_errored_states(self) -> None:
+        """Error resets (resetErrors step flag, Process.ts:562-664):
+        errored resources revert to unvisited (re-schedulable), errored
+        host-not-found domains revert to unvisited (robots re-checked).
+        No URL leaves the seen-set, so the Bloom filter stays exact —
+        true deletion semantics would swap in the CuckooFilter
+        (operators/seen_set.py), which supports removal."""
+        self.resources = self.resources.withColumn(
+            "status",
+            F.when(F.col("status") == "error", F.lit("unvisited"))
+            .otherwise(F.col("status")))
+        err_doms = [r["origin"] for r in self.domains.filter(
+            F.col("status") == "error").select("origin").collect()]
+        if err_doms:
+            is_err = F.col("status") == "error"
+            self.domains = self.domains.select(
+                "origin",
+                F.when(is_err, F.lit("unvisited"))
+                .otherwise(F.col("status")).alias("status"),
+                F.when(is_err, F.lit(None).cast("string"))
+                .otherwise(F.col("robots_status")).alias("robots_status"),
+                F.when(is_err, F.lit(""))
+                .otherwise(F.col("robots_txt")).alias("robots_txt"),
+                F.when(is_err, F.lit(self.cfg.default_crawl_delay))
+                .otherwise(F.col("crawl_delay")).cast("int")
+                .alias("crawl_delay"),
+                F.when(is_err, F.lit(0))
+                .otherwise(F.col("next_allowed")).cast("int")
+                .alias("next_allowed"),
+            )
+            self._unvisited_domains += len(err_doms)
+            for o in err_doms:
+                self._robots_cache.pop(o, None)
+        if self.store:
+            self._commit({"phase": "reset_errors"})
+        else:
+            self._checkpoint_local()
+
     # ------------------------------------------------------------------
     # per-round pieces
     # ------------------------------------------------------------------

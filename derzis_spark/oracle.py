@@ -122,6 +122,7 @@ class Oracle:
         self.paths: list[Path] = []
         self.proc_triples: set[tuple] = set()
         self._seq = 0
+        self._rnd = 0  # persists across run() calls (continue semantics)
 
         # seed bootstrap (models/src/Resource.ts:306-331,339-507)
         seen: set[str] = set()
@@ -397,9 +398,27 @@ class Oracle:
             worklist = [c for c in next_wave if c.status == "active"]
 
     # ------------------------------------------------------------------
+    def reset_errored_states(self) -> None:
+        """Error resets (resetErrors step flag, Process.ts:562-664):
+        errored resources revert to unvisited so they are re-schedulable
+        and errored (host-not-found) domains revert to unvisited so
+        robots are re-checked. Seen-set membership is unchanged — no URL
+        is deleted, so the Bloom filter stays exact (a true deletion
+        semantics would use operators/seen_set.py's CuckooFilter)."""
+        for rec in self.resources.values():
+            if rec["status"] == "error":
+                rec["status"] = "unvisited"
+        for d in self.domains.values():
+            if d.status == "error":
+                d.status = "unvisited"
+                d.robots_status = None
+                d.robots_txt = ""
+                d.crawl_delay = self.cfg.default_crawl_delay
+                d.next_allowed = 0
+
     def run(self, max_rounds: int | None = None) -> CrawlResult:
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
-        rnd = 0
+        rnd = self._rnd
         while rnd < cap:
             rnd += 1
             # Phase A — robots checks for unvisited domains
@@ -472,6 +491,7 @@ class Oracle:
 
             # path extension
             self._extend_round(fetched, rnd)
+        self._rnd = rnd
         return CrawlResult(
             trace=self.trace, resources=self.resources, domains=self.domains,
             triples=self.triples, paths=self.paths,
@@ -479,10 +499,14 @@ class Oracle:
         )
 
 
-def run_oracle_on_fixture(fx, config: CrawlConfig | None = None,
-                          max_rounds: int | None = None) -> CrawlResult:
+def build_oracle_for_fixture(fx, config: CrawlConfig | None = None):
     pages = {u: (h, t, l) for u, h, t, l in
              zip(fx.urls, fx.html, fx.text, fx.lang)}
     robots = {o: (s, txt) for o, s, txt in
               zip(fx.robots_origin, fx.robots_status, fx.robots_txt)}
-    return Oracle(pages, robots, fx.seeds, config).run(max_rounds)
+    return Oracle(pages, robots, fx.seeds, config)
+
+
+def run_oracle_on_fixture(fx, config: CrawlConfig | None = None,
+                          max_rounds: int | None = None) -> CrawlResult:
+    return build_oracle_for_fixture(fx, config).run(max_rounds)

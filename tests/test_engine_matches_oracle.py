@@ -105,3 +105,49 @@ def test_domain_limit_match(spark):
                       max_rounds=15)
     oracle, engine = run_both(spark, fx, cfg, max_rounds=15)
     assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_blank_node_chaining_match(spark):
+    """allow_blank_nodes=True: blank objects are namespaced per source
+    page (Worker.ts:63-70) and blank-headed paths chain through a
+    second extension hop within the round (blank-node-utils.ts:21-38);
+    the engine's wave cascade must reproduce the oracle exactly."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42,
+                          blank_rate=0.3)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=40,
+                      allow_blank_nodes=True)
+    oracle, engine = run_both(spark, fx, cfg)
+    assert oracle.rounds == engine.round
+    assert_match(oracle, engine)
+    # the fixture must actually exercise blank nodes for this to count
+    n_blank = engine.triples.filter("object_kind = 'blank'").count()
+    assert n_blank > 0
+
+
+@pytest.mark.slow
+def test_reset_errors_then_continue_match(spark):
+    """resetErrors (Process.ts:562-664): errored resources/domains
+    revert and the crawl continues; engine and oracle must agree on the
+    extended trace and final state. Seen-set membership never shrinks,
+    so the Bloom pre-pass stays exact through the reset."""
+    from derzis_spark.oracle import build_oracle_for_fixture
+
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42,
+                          ghost_rate=0.15)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=12)
+
+    ora = build_oracle_for_fixture(fx, cfg)
+    ora.run(max_rounds=12)
+    ora.reset_errored_states()
+    res_o = ora.run(max_rounds=20)
+
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=12)
+    engine.reset_errored_states()
+    engine.run(max_rounds=20)
+
+    assert_match(res_o, engine)
