@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additional_resources_topup": Q.q_additional_resources_topup,
         # §2.3 joins / §2.6 set ops
         "seen_set_antijoin": Q.q_seen_set_antijoin,
+        "endpoint_merge": Q.q_endpoint_merge,
         "path_extension_join": Q.q_path_extension_join,
         "domains_rollup": Q.q_domains_rollup,
         "resource_status_merge": Q.q_resource_status_merge,
@@ -87,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_path_metrics": Q.q_avg_path_metrics,
         "crawl_rate_window": Q.q_crawl_rate_window,
         "domain_queue_counters": Q.q_domain_queue_counters,
+        "seed_coverage": Q.q_seed_coverage,
+        "triple_dedup_upsert": Q.q_triple_dedup_upsert,
+        # §2.5 label queue
+        "label_fetch_batching": Q.q_label_fetch_batching,
         # §2.7 scalar functions
         "next_allowed_calc": Q.q_next_allowed_calc,
         # training-data pipeline: dedup
@@ -122,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_admission": Q.SQL_POLITENESS_ADMISSION,
         "additional_resources_topup": Q.SQL_ADDITIONAL_TOPUP,
         "seen_set_antijoin": Q.SQL_SEEN_SET_ANTIJOIN,
+        "endpoint_merge": Q.SQL_ENDPOINT_MERGE,
         "path_extension_join": Q.SQL_PATH_EXTENSION_JOIN,
         "domains_rollup": Q.SQL_DOMAINS_ROLLUP,
         "resource_status_merge": Q.SQL_RESOURCE_STATUS_MERGE,
@@ -135,6 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "avg_path_metrics": Q.SQL_AVG_PATH_METRICS,
         "crawl_rate_window": Q.SQL_CRAWL_RATE_WINDOW,
         "domain_queue_counters": Q.SQL_DOMAIN_QUEUE_COUNTERS,
+        "seed_coverage": Q.SQL_SEED_COVERAGE,
+        "triple_dedup_upsert": Q.SQL_TRIPLE_DEDUP_UPSERT,
+        "label_fetch_batching": Q.SQL_LABEL_FETCH_BATCHING,
         "next_allowed_calc": Q.SQL_NEXT_ALLOWED_CALC,
         "dedup_exact": P.SQL_DEDUP_EXACT,
         "minhash_signatures": P.SQL_MINHASH_SIGNATURES,

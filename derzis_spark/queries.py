@@ -666,3 +666,134 @@ SQL_NEXT_ALLOWED_CALC = """
   SELECT event_id, ts, ts + INTERVAL 90 SECOND AS next_allowed
   FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.3 existing-endpoint merge + §2.4/§2.5 remaining rows
+# ---------------------------------------------------------------------------
+
+def q_endpoint_merge(spark, sf_dir):
+    """Existing-endpoint merge (EndpointPath.ts:490-608,
+    process-paths.ts:1000-1168): candidate heads FULL OUTER JOIN the
+    existing endpoint table on (head_url, seed); per-seed min length
+    via least(), shortest_path_length per head — the deterministic
+    groupBy/join replacement for the reference's optimistic-lock retry
+    loops."""
+    paths = paths_view(spark, sf_dir)
+    seed_col = F.concat(F.lit("https://seed"),
+                        (F.col("seq") % 5).cast("string"),
+                        F.lit(".example.org"))
+    exist = paths.filter(F.col("seq") % 2 == 0).select(
+        "head_url", seed_col.alias("seed"),
+        F.col("length").alias("e_len"))
+    cand = paths.filter(F.col("seq") % 3 == 0).select(
+        "head_url", seed_col.alias("seed"),
+        (F.col("length") + 1).alias("c_len"))
+    merged = (
+        exist.join(cand, ["head_url", "seed"], "full_outer")
+        .select(
+            "head_url", "seed",
+            F.least(F.coalesce("e_len", "c_len"),
+                    F.coalesce("c_len", "e_len")).alias("min_length"))
+    )
+    w = Window.partitionBy("head_url")
+    return merged.withColumn(
+        "shortest_path_length", F.min("min_length").over(w))
+
+SQL_ENDPOINT_MERGE = f"""
+  WITH paths AS ({PATHS_SQL}),
+  exist AS (
+    SELECT head_url,
+           'https://seed' || CAST(seq % 5 AS VARCHAR) || '.example.org' AS seed,
+           length AS e_len
+    FROM paths WHERE seq % 2 = 0
+  ),
+  cand AS (
+    SELECT head_url,
+           'https://seed' || CAST(seq % 5 AS VARCHAR) || '.example.org' AS seed,
+           length + 1 AS c_len
+    FROM paths WHERE seq % 3 = 0
+  ),
+  merged AS (
+    SELECT COALESCE(e.head_url, c.head_url) AS head_url,
+           COALESCE(e.seed, c.seed) AS seed,
+           LEAST(COALESCE(e.e_len, c.c_len), COALESCE(c.c_len, e.e_len))
+             AS min_length
+    FROM exist e FULL OUTER JOIN cand c
+      ON e.head_url = c.head_url AND e.seed = c.seed
+  )
+  SELECT head_url, seed, min_length,
+         MIN(min_length) OVER (PARTITION BY head_url)
+           AS shortest_path_length
+  FROM merged
+"""
+
+
+def q_label_fetch_batching(spark, sf_dir):
+    """Label-fetch batching (Domain.ts:610-731): paginate pending
+    resource labels by creation order, group per domain into batches of
+    resLimit=20 — row_number window over hash(origin) partitions."""
+    p = pages_view(spark, sf_dir)
+    labels = p.filter(F.col("doc_id") % 2 == 0)
+    w = Window.partitionBy("origin").orderBy("doc_id")
+    batched = labels.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 20).cast("int"))
+    return batched.groupBy("origin", "batch_id").agg(
+        F.count("*").alias("n_urls"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+
+SQL_LABEL_FETCH_BATCHING = f"""
+  WITH pages AS ({PAGES_SQL}),
+  labels AS (SELECT * FROM pages WHERE doc_id % 2 = 0),
+  batched AS (
+    SELECT origin, doc_id,
+           CAST((ROW_NUMBER() OVER (PARTITION BY origin ORDER BY doc_id)
+                 - 1) // 20 AS INT) AS batch_id
+    FROM labels
+  )
+  SELECT origin, batch_id, COUNT(*) AS n_urls,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM batched GROUP BY origin, batch_id
+"""
+
+
+def q_seed_coverage(spark, sf_dir):
+    """Seed coverage (process-metrics.ts:88-120): distinct seed URLs
+    appearing as subject/object per predicate."""
+    l = links_view(spark, sf_dir)
+    return l.groupBy("predicate").agg(
+        F.countDistinct(F.when(F.col("src_doc") % 10 == 0,
+                               F.col("src_url"))).alias("subj_seed_cov"),
+        F.countDistinct(F.when(F.col("dst_doc") % 10 == 0,
+                               F.col("dst_url"))).alias("obj_seed_cov"))
+
+SQL_SEED_COVERAGE = f"""
+  WITH links AS ({LINKS_SQL})
+  SELECT predicate,
+         COUNT(DISTINCT CASE WHEN src_doc % 10 = 0 THEN src_url END)
+           AS subj_seed_cov,
+         COUNT(DISTINCT CASE WHEN dst_doc % 10 = 0 THEN dst_url END)
+           AS obj_seed_cov
+  FROM links GROUP BY predicate
+"""
+
+
+def q_triple_dedup_upsert(spark, sf_dir):
+    """Triple sink per-key dedup with source-set union
+    (Triple.ts:79-232, $addToSet sources → distinct aggregation):
+    grouped by (predicate, object), sources summarized stably."""
+    l = links_view(spark, sf_dir)
+    return l.groupBy("predicate", F.col("dst_url").alias("object_url")).agg(
+        F.countDistinct("src_url").alias("n_sources"),
+        F.min("src_url").alias("first_source"),
+        F.max("src_url").alias("last_source"))
+
+SQL_TRIPLE_DEDUP_UPSERT = f"""
+  WITH links AS ({LINKS_SQL})
+  SELECT predicate, dst_url AS object_url,
+         COUNT(DISTINCT src_url) AS n_sources,
+         MIN(src_url) AS first_source,
+         MAX(src_url) AS last_source
+  FROM links GROUP BY predicate, dst_url
+"""
