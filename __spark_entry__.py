@@ -19,7 +19,8 @@ from derzis_spark import queries as Q
 from derzis_spark import pipeline_queries as P
 
 
-def _mini_crawl(spark: SparkSession, n_pages: int = 60) -> DataFrame:
+def _mini_crawl(spark: SparkSession, n_pages: int = 60,
+                path_type: str = "traversal") -> DataFrame:
     """Run the full crawl engine on a deterministic mini fixture and
     return the trace (round, seq, url, origin, status)."""
     from derzis_spark import schemas
@@ -32,7 +33,8 @@ def _mini_crawl(spark: SparkSession, n_pages: int = 60) -> DataFrame:
     robots = spark.createDataFrame(fx.robots_rows(), schemas.ROBOTS)
     seeds = spark.createDataFrame([(u,) for u in fx.seeds], schemas.SEEDS)
     cfg = CrawlConfig(max_path_length=3, max_path_props=2,
-                      resources_per_domain=2, max_rounds=8)
+                      resources_per_domain=2, max_rounds=8,
+                      path_type=path_type)
     engine = CrawlEngine(spark, pages, robots, cfg)
     return engine.run(seeds, max_rounds=8)
 
@@ -113,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": P.q_multimodal_metadata,
         # the crawl engine itself (iterative — rows-only check)
         "crawl_trace_mini": lambda spark, sf_dir: _mini_crawl(spark),
+        "crawl_trace_endpoint": lambda spark, sf_dir: _mini_crawl(
+            spark, path_type="endpoint"),
         # mega-round fetch+extract batch (UDF pipeline — rows-only)
         "fetch_extract_batch": _batch_fetch_stats,
     }

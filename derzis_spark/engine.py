@@ -207,10 +207,19 @@ class CrawlEngine:
             [(o, "unvisited", None, "", self.cfg.default_crawl_delay, 0)
              for o in sorted(self._known_origins)],
             schemas.DOMAINS)
-        self.paths = self.spark.createDataFrame(
-            [(r["url"], r["url"], "url", r["url"], [r["url"]], [],
-              1, "active", 0, int(r["seq"])) for r in seed_rows],
-            schemas.PATHS)
+        if self.cfg.path_type == "endpoint":
+            # endpoint seed paths: shortestPathLength=1,
+            # seedPaths={seed: 1} (Resource.ts:339-507)
+            self.paths = self.spark.createDataFrame(
+                [("", r["url"], "url", r["url"], [], [],
+                  1, "active", 0, int(r["seq"]), {r["url"]: 1})
+                 for r in seed_rows],
+                schemas.PATHS)
+        else:
+            self.paths = self.spark.createDataFrame(
+                [(r["url"], r["url"], "url", r["url"], [r["url"]], [],
+                  1, "active", 0, int(r["seq"]), None) for r in seed_rows],
+                schemas.PATHS)
         self.triples = self.spark.createDataFrame([], schemas.TRIPLES)
         self.ends = self.spark.createDataFrame([], _ENDS_SCHEMA)
         self._triple_keys = set()
@@ -713,6 +722,187 @@ class CrawlEngine:
                 F.forall("predicates", lambda p: F.array_contains(arr, p)))
         return cand
 
+    def _extend_endpoint(self, rnd: int, fetched_done: list[str]) -> int:
+        """Endpoint-path extension (EndpointPath.ts:216-372) as joins +
+        map algebra, mirroring the oracle's `_extend_round_endpoint`
+        exactly: per wave, candidates from all parents are grouped BY
+        HEAD; existing endpoint paths absorb new per-seed distances via
+        `map_zip_with` min-merge (processUrlCandidate,
+        EndpointPath.ts:521-608); unseen heads create one path each with
+        seq assigned by (distance, head) order; literal candidates are
+        deduped per wave. Parents producing >=1 candidate are deleted."""
+        total = 0
+        parents = _semi_filter(
+            self.spark,
+            self.paths.filter(
+                (F.col("status") == "active")
+                & (F.col("head_kind") == "url")),
+            "head_url", list(fetched_done))
+        ends = self.ends
+        bf = None
+        if self.cfg.follow_direction:
+            t = self.triples.withColumn("okey", _object_key_col())
+            bf = t.groupBy("predicate").agg(
+                F.countDistinct("subject").alias("bf_subj"),
+                F.countDistinct("okey").alias("bf_obj"),
+            ).withColumnRenamed("predicate", "pred")
+        lims = self.cfg.pred_limitations
+        guard = 0
+        while guard < 100:
+            guard += 1
+            p = parents.filter(F.col("length") < self.cfg.max_path_length)
+            cand = F.broadcast(p.select(
+                F.col("head_url").alias("p_head"),
+                F.col("length").alias("p_length"),
+                F.col("seed_paths").alias("p_seeds"),
+                F.col("seq").alias("parent_seq"),
+            )).join(ends, F.col("p_head") == F.col("end"))
+            cand = cand.filter(
+                (F.col("pred") != F.col("p_head"))
+                & (F.col("node_kind") != "blank"))
+            if lims:
+                # isExtensionAllowed: FUTURE limitations only, label
+                # preds exempt (EndpointPath.ts:160-190); the
+                # spl>=maxPathLength gate is the p filter above
+                vocab = [r["pred"] for r in
+                         cand.select("pred").distinct().collect()]
+                def matched(kind):
+                    pats = [l.predicate for l in lims if kind in l.lims]
+                    return {w for w in vocab if any(
+                        matches_predicate_pattern(pt, w) for pt in pats)}
+                labels = set(LABEL_PREDICATES)
+                req = matched("require-future")
+                dis = matched("disallow-future") - labels
+                ok = F.lit(True)
+                if any("require-future" in l.lims for l in lims):
+                    ok = F.col("pred").isin(sorted(req | labels))
+                if dis:
+                    ok = ok & ~F.col("pred").isin(sorted(dis))
+                cand = cand.filter(ok)
+            lit = cand.filter(F.col("node_kind") == "literal")
+            uri = cand.filter(
+                (F.col("node_kind") == "uri")
+                & F.col("node_c").isNotNull()
+                & ~F.array_contains(F.map_keys("p_seeds"),
+                                    F.col("node_c")))
+            if bf is not None:
+                ratio = F.col("bf_subj") / F.col("bf_obj")
+                uri = uri.join(F.broadcast(bf), "pred", "left").filter(
+                    F.col("bf_subj").isNull() | F.col("bf_obj").isNull()
+                    | (F.col("bf_obj") == 0) | (F.col("bf_subj") == 0)
+                    | ((ratio >= F.lit(self.cfg.bf_neutral_high))
+                       & (F.col("dir_rank") == 0))
+                    | ((ratio <= F.lit(self.cfg.bf_neutral_low))
+                       & (F.col("dir_rank") == 1))
+                    | ((ratio > F.lit(self.cfg.bf_neutral_low))
+                       & (ratio < F.lit(self.cfg.bf_neutral_high)))
+                ).drop("bf_subj", "bf_obj")
+            uri = uri.localCheckpoint(eager=True)
+            lit = lit.localCheckpoint(eager=True)
+
+            def grouped(df, key_col):
+                seeds = df.select(
+                    F.col(key_col).alias("gkey"), "p_length",
+                    F.explode("p_seeds").alias("seed", "m"))
+                per_seed = seeds.groupBy("gkey", "seed").agg(
+                    (F.min("m") + 1).cast("int").alias("minlen"))
+                maps = per_seed.groupBy("gkey").agg(
+                    F.map_from_entries(F.sort_array(F.collect_list(
+                        F.struct("seed", "minlen")))).alias("new_map"))
+                dists = df.groupBy(F.col(key_col).alias("gkey")).agg(
+                    (F.min("p_length") + 1).cast("int").alias("dist"))
+                return dists.join(maps, "gkey")
+
+            url_info = grouped(uri, "node_c").localCheckpoint(eager=True)
+            lit_info = grouped(lit, "node_key").localCheckpoint(eager=True)
+            ext_seqs = sorted({
+                int(r["parent_seq"]) for r in
+                uri.select("parent_seq").distinct().collect()
+            } | {
+                int(r["parent_seq"]) for r in
+                lit.select("parent_seq").distinct().collect()
+            })
+            url_rows = url_info.collect()
+            lit_rows = sorted(lit_info.collect(), key=lambda r: r["gkey"])
+            if not url_rows and not lit_rows:
+                break
+            # min-merge into existing endpoint paths (map_zip_with)
+            upd = self.paths.join(
+                F.broadcast(url_info.select(
+                    F.col("gkey").alias("head_url"),
+                    F.col("dist").alias("new_dist"),
+                    F.col("new_map"))),
+                "head_url", "left")
+            merged_map = F.map_from_entries(F.sort_array(F.map_entries(
+                F.map_zip_with(
+                    "seed_paths", "new_map",
+                    lambda k, a, b: F.coalesce(F.least(a, b), a, b)))))
+            self.paths = upd.select(
+                "seed", "head_url", "head_kind", "head_key", "nodes",
+                "predicates",
+                F.when(F.col("new_dist").isNotNull(),
+                       F.least("length", "new_dist"))
+                .otherwise(F.col("length")).cast("int").alias("length"),
+                "status", "created_round", "seq",
+                F.when(F.col("new_map").isNotNull(), merged_map)
+                .otherwise(F.col("seed_paths")).alias("seed_paths"),
+            )
+            # new paths for unseen heads, seq ordered by (dist, head)
+            known_heads = {
+                r["head_url"] for r in self.paths.filter(
+                    F.col("head_kind") == "url")
+                .select("head_url").distinct().collect()
+            }
+            new_url = sorted(
+                (r for r in url_rows if r["gkey"] not in known_heads),
+                key=lambda r: (r["dist"], r["gkey"]))
+            new_rows = []
+            for r in new_url:
+                new_rows.append(
+                    ("", r["gkey"], "url", r["gkey"], [], [],
+                     int(r["dist"]), "active", rnd, self.seq_counter,
+                     dict(r["new_map"])))
+                self.seq_counter += 1
+            for r in lit_rows:
+                new_rows.append(
+                    ("", None, "literal", r["gkey"], [], [],
+                     int(r["dist"]), "active", rnd, self.seq_counter,
+                     dict(r["new_map"])))
+                self.seq_counter += 1
+            if ext_seqs:
+                ext_df = self.spark.createDataFrame(
+                    [(x, True) for x in ext_seqs],
+                    "seq long, was_extended boolean")
+                self.paths = (
+                    self.paths.join(F.broadcast(ext_df), "seq", "left")
+                    .withColumn(
+                        "status",
+                        F.when(F.col("was_extended"), F.lit("deleted"))
+                        .otherwise(F.col("status")))
+                    .drop("was_extended"))
+            if new_rows:
+                self.paths = self.paths.unionByName(
+                    self.spark.createDataFrame(new_rows, schemas.PATHS))
+            total += len(new_rows)
+            # register unseen heads; next wave = new heads already done
+            missing = [r["gkey"] for r in new_url
+                       if r["gkey"] not in self._seen_urls]
+            if missing:
+                self._insert_new_urls(self.spark.createDataFrame(
+                    [(u,) for u in missing], "url string"))
+            next_heads = [r["gkey"] for r in new_url
+                          if r["gkey"] in self._done_urls]
+            if not next_heads:
+                break
+            self.paths = self.paths.localCheckpoint(eager=True)
+            parents = _semi_filter(
+                self.spark,
+                self.paths.filter(
+                    (F.col("status") == "active")
+                    & (F.col("head_kind") == "url")),
+                "head_url", next_heads)
+        return total
+
     def _extend(self, rnd: int, fetched_done: list[str]) -> int:
         """Within-round extension cascade (oracle `_extend_round`).
 
@@ -806,7 +996,8 @@ class CrawlEngine:
                             .otherwise(F.col("status")))
                         .drop("was_extended"))
             cols = ["seed", "head_url", "head_kind", "head_key", "nodes",
-                    "predicates", "length", "status", "created_round", "seq"]
+                    "predicates", "length", "status", "created_round", "seq",
+                    "seed_paths"]
             new_paths = all_children[0].select(cols)
             for extra in all_children[1:]:
                 new_paths = new_paths.unionByName(extra.select(cols))
@@ -893,6 +1084,7 @@ class CrawlEngine:
             F.lit("active").alias("status"),
             F.lit(rnd).cast("int").alias("created_round"),
             "seq",
+            F.lit(None).cast("map<string,int>").alias("seed_paths"),
         )
 
     # ------------------------------------------------------------------
@@ -962,7 +1154,10 @@ class CrawlEngine:
                 fetched_done = [t[2] for t in trace if t[4] == "done"]
                 n_done = len(fetched_done)
                 if fetched_done:
-                    self._extend(rnd, fetched_done)
+                    if self.cfg.path_type == "endpoint":
+                        self._extend_endpoint(rnd, fetched_done)
+                    else:
+                        self._extend(rnd, fetched_done)
                 if quads is not None:
                     quads.unpersist()
                 if self._found_cache is not None:

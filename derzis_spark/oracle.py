@@ -62,14 +62,27 @@ class Path:
     created_round: int
     seq: int
     triple_keys: frozenset = frozenset()
+    #: endpoint-path fields (models/src/Path/EndpointPath.ts:128-140):
+    #: ptype 'endpoint' paths are unique per head and carry
+    #: shortestPathLength + per-seed min distances instead of the
+    #: node/predicate chains of traversal paths
+    ptype: str = "traversal"
+    spl: int = 0
+    seed_paths: tuple = ()    # sorted ((seed, min_length), ...)
 
     @property
     def length(self) -> int:
         """Non-blank node count (models/src/Path/TraversalPath.ts:43-44)."""
         return sum(1 for n in self.nodes if not is_blank_node_id(n))
 
+    @property
+    def effective_length(self) -> int:
+        """The priority-key length: shortestPathLength for endpoint
+        paths (process-paths.ts:691-694), node count for traversal."""
+        return self.spl if self.ptype == "endpoint" else self.length
+
     def priority(self) -> tuple:
-        return (self.length, self.created_round, self.seq)
+        return (self.effective_length, self.created_round, self.seq)
 
 
 @dataclass
@@ -132,11 +145,21 @@ class Oracle:
                 continue
             seen.add(url)
             self._add_resource(url)
-            self.paths.append(Path(
-                seed=url, head_url=url, head_kind="url", head_key=url,
-                nodes=(url,), predicates=(), status="active",
-                created_round=0, seq=self._next_seq(),
-            ))
+            if self.cfg.path_type == "endpoint":
+                # endpoint seed path: shortestPathLength=1,
+                # seedPaths=[{seed,1}] (Resource.ts:339-507)
+                self.paths.append(Path(
+                    seed="", head_url=url, head_kind="url", head_key=url,
+                    nodes=(), predicates=(), status="active",
+                    created_round=0, seq=self._next_seq(),
+                    ptype="endpoint", spl=1, seed_paths=((url, 1),),
+                ))
+            else:
+                self.paths.append(Path(
+                    seed=url, head_url=url, head_kind="url", head_key=url,
+                    nodes=(url,), predicates=(), status="active",
+                    created_round=0, seq=self._next_seq(),
+                ))
 
     # ------------------------------------------------------------------
     def _next_seq(self) -> int:
@@ -161,7 +184,7 @@ class Oracle:
             p.status == "active"
             and p.head_kind == "url"
             and self.resources.get(p.head_url, {}).get("status") == "unvisited"
-            and p.length < self.cfg.max_path_length
+            and p.effective_length < self.cfg.max_path_length
             and len(p.predicates) <= self.cfg.max_path_props
         )
 
@@ -368,9 +391,145 @@ class Oracle:
             parent.status = "deleted"
         return children
 
+    def _endpoint_pred_allowed(self, parent: Path, predicate: str) -> bool:
+        """isExtensionAllowed (EndpointPath.ts:160-190): label preds
+        exempt; only FUTURE limitations apply (endpoint paths track no
+        predicate history); with limitations present, a parent at
+        spl >= maxPathLength is blocked."""
+        lims = self.cfg.pred_limitations
+        if not lims:
+            return True
+        if parent.spl >= self.cfg.max_path_length:
+            return False
+        if predicate in LABEL_PREDICATES:
+            return True
+        req_future = [l.predicate for l in lims if "require-future" in l.lims]
+        dis_future = [l.predicate for l in lims if "disallow-future" in l.lims]
+        if req_future and not any(
+            matches_predicate_pattern(pat, predicate) for pat in req_future
+        ):
+            return False
+        if any(matches_predicate_pattern(pat, predicate) for pat in dis_future):
+            return False
+        return True
+
+    def _extend_round_endpoint(self, fetched_urls: list[str],
+                               rnd: int) -> None:
+        """Endpoint-path extension (EndpointPath.ts:216-372): wave
+        candidates are merged BY HEAD — an existing endpoint path for a
+        head absorbs new seed distances by min (processUrlCandidate,
+        EndpointPath.ts:521-608); unseen heads create one path each.
+        Deterministic deviations from the reference's DB-racy batch
+        behavior, mirrored exactly by the engine: candidates from all
+        wave parents merge globally before path creation; literal
+        candidates are deduped per wave; a parent counts as extended if
+        it produced >=1 valid candidate. Blank nodes are not supported
+        in endpoint mode here (gated in config)."""
+        assert not self.cfg.allow_blank_nodes, (
+            "endpoint mode + blank nodes not implemented")
+        worklist = [
+            p for p in self.paths
+            if p.status == "active" and p.head_kind == "url"
+            and p.head_url in fetched_urls and p.ptype == "endpoint"
+        ]
+        guard = 0
+        while worklist and guard < 100:
+            guard += 1
+            bf = self._branch_factors() if self.cfg.follow_direction else {}
+            worklist.sort(key=lambda p: p.priority())
+            url_cands: dict[str, dict] = {}
+            lit_cands: dict[str, dict] = {}
+            extended: list[Path] = []
+            for parent in worklist:
+                if parent.spl >= self.cfg.max_path_length:
+                    continue  # tripleIsOutOfBounds (EndpointPath.ts:186-188)
+                produced = False
+                p_seeds = dict(parent.seed_paths)
+                for (pred, node_key, _d), tkey, head_is_subj, node_kind, \
+                        node_value in self._candidates_for_head(
+                            parent.head_url):
+                    if pred == parent.head_url:
+                        continue  # isExtensionValid predicate==head rule
+                    if node_kind == "blank":
+                        continue
+                    if not self._endpoint_pred_allowed(parent, pred):
+                        continue
+                    dist = parent.spl + 1
+                    seeds = {s: m + 1 for s, m in p_seeds.items()}
+                    if node_kind == "literal":
+                        c = lit_cands.setdefault(
+                            node_key, {"dist": dist, "seeds": {}})
+                        c["dist"] = min(c["dist"], dist)
+                        for s, m in seeds.items():
+                            c["seeds"][s] = min(c["seeds"].get(s, m), m)
+                        if pred in LABEL_PREDICATES:
+                            self.proc_triples.add(tkey)
+                        produced = True
+                        continue
+                    if not self._direction_ok(pred, head_is_subj, bf):
+                        continue
+                    node_c = canonicalize_url(node_value)
+                    if node_c is None:
+                        continue
+                    if node_c in p_seeds:
+                        continue  # seed-cycle (EndpointPath.ts:405-408)
+                    c = url_cands.setdefault(
+                        node_c, {"dist": dist, "seeds": {}})
+                    c["dist"] = min(c["dist"], dist)
+                    for s, m in seeds.items():
+                        c["seeds"][s] = min(c["seeds"].get(s, m), m)
+                    self.proc_triples.add(tkey)
+                    produced = True
+                if produced:
+                    extended.append(parent)
+            existing = {
+                p.head_url: p for p in self.paths
+                if p.ptype == "endpoint" and p.head_kind == "url"
+            }
+            new_paths: list[Path] = []
+            for head in sorted(url_cands,
+                               key=lambda h: (url_cands[h]["dist"], h)):
+                c = url_cands[head]
+                ex = existing.get(head)
+                if ex is not None:
+                    merged = dict(ex.seed_paths)
+                    for s, m in c["seeds"].items():
+                        merged[s] = min(merged.get(s, m), m)
+                    ex.seed_paths = tuple(sorted(merged.items()))
+                    ex.spl = min(ex.spl, c["dist"])
+                else:
+                    if head not in self.resources:
+                        self._add_resource(head)
+                    p = Path(
+                        seed="", head_url=head, head_kind="url",
+                        head_key=head, nodes=(), predicates=(),
+                        status="active", created_round=rnd,
+                        seq=self._next_seq(), ptype="endpoint",
+                        spl=c["dist"],
+                        seed_paths=tuple(sorted(c["seeds"].items())))
+                    self.paths.append(p)
+                    new_paths.append(p)
+            for key in sorted(lit_cands):
+                c = lit_cands[key]
+                self.paths.append(Path(
+                    seed="", head_url=None, head_kind="literal",
+                    head_key=key, nodes=(), predicates=(),
+                    status="active", created_round=rnd,
+                    seq=self._next_seq(), ptype="endpoint",
+                    spl=c["dist"],
+                    seed_paths=tuple(sorted(c["seeds"].items()))))
+            for parent in extended:
+                parent.status = "deleted"
+            worklist = [
+                p for p in new_paths
+                if self.resources.get(p.head_url, {}).get("status") == "done"
+            ]
+
     def _extend_round(self, fetched_urls: list[str], rnd: int) -> None:
         """Extend paths whose head was fetched this round, cascading to
         new paths whose heads are already fetched (within-round fixpoint)."""
+        if self.cfg.path_type == "endpoint":
+            return self._extend_round_endpoint(fetched_urls, rnd)
         worklist = [
             p for p in self.paths
             if p.status == "active" and p.head_kind == "url"

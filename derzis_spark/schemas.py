@@ -15,6 +15,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -59,10 +60,13 @@ PATHS = StructType([
     StructField("head_key", StringType(), False),
     StructField("nodes", ArrayType(StringType()), False),
     StructField("predicates", ArrayType(StringType()), False),
+    # traversal: non-blank node count; endpoint: shortestPathLength
     StructField("length", IntegerType(), False),
     StructField("status", StringType(), False),    # active|deleted
     StructField("created_round", IntegerType(), False),
     StructField("seq", LongType(), False),
+    # endpoint paths only (EndpointPath.ts:128-140): seed -> min length
+    StructField("seed_paths", MapType(StringType(), IntegerType()), True),
 ])
 
 TRIPLES = StructType([

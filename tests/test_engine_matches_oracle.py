@@ -57,12 +57,14 @@ def assert_match(oracle, engine):
     eng_paths = {
         (r["seq"], r["seed"], r["head_kind"], r["head_key"],
          tuple(r["nodes"]), tuple(r["predicates"]), r["length"],
-         r["status"], r["created_round"])
+         r["status"], r["created_round"],
+         tuple(sorted(r["seed_paths"].items()))
+         if r["seed_paths"] is not None else ())
         for r in engine.paths.collect()
     }
     ora_paths = {
         (p.seq, p.seed, p.head_kind, p.head_key, p.nodes, p.predicates,
-         p.length, p.status, p.created_round)
+         p.effective_length, p.status, p.created_round, p.seed_paths)
         for p in oracle.paths
     }
     assert eng_paths == ora_paths
@@ -151,3 +153,31 @@ def test_reset_errors_then_continue_match(spark):
     engine.run(max_rounds=20)
 
     assert_match(res_o, engine)
+
+
+@pytest.mark.slow
+def test_endpoint_mode_match(spark):
+    """Endpoint path type (EndpointPath.ts): one path per head, merged
+    per-seed min distances, priority by shortestPathLength — engine and
+    oracle must agree on trace, seen-set, and the endpoint frontier."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=40,
+                      path_type="endpoint")
+    oracle, engine = run_both(spark, fx, cfg)
+    assert oracle.rounds == engine.round
+    assert_match(oracle, engine)
+    # head uniqueness invariant for endpoint url paths
+    heads = [r["head_url"] for r in engine.paths.filter(
+        "head_kind = 'url'").collect()]
+    assert len(heads) == len(set(heads))
+
+
+@pytest.mark.slow
+def test_endpoint_mode_with_direction_match(spark):
+    fx = generate_fixture(n_pages=100, n_origins=5, n_seeds=4, seed=9)
+    cfg = CrawlConfig(max_path_length=4, max_path_props=2,
+                      resources_per_domain=2, max_rounds=20,
+                      path_type="endpoint", follow_direction=True)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
+    assert_match(oracle, engine)
