@@ -42,7 +42,8 @@ from derzis_spark.config import CrawlConfig, LABEL_PREDICATES
 from derzis_spark.functions import udfs
 from derzis_spark.functions.core import matches_predicate_pattern
 from derzis_spark import schemas
-from derzis_spark.operators.seen_set import BloomFilter, split_by_bloom
+from derzis_spark.operators.seen_set import (
+    BloomFilter, bloom_from_dataframe, split_by_bloom)
 from derzis_spark.storage import SnapshotStore
 
 
@@ -722,6 +723,87 @@ class CrawlEngine:
                 F.forall("predicates", lambda p: F.array_contains(arr, p)))
         return cand
 
+    def convert_to_endpoint(self) -> None:
+        """convertToEndpointPaths (process-paths.ts:1640-1716), the
+        engine mirror of the oracle's `convert_to_endpoint`: active
+        traversal paths (seed_paths IS NULL) become endpoint candidates
+        (spl = length, seedPaths={seed: length}), min-merged by head
+        with existing endpoint rows; traversal rows are deleted; the
+        engine continues under endpoint semantics."""
+        from dataclasses import replace as dc_replace
+
+        trav = self.paths.filter(
+            (F.col("status") == "active") & F.col("seed_paths").isNull())
+
+        def info(df, key_col):
+            per_seed = df.groupBy(F.col(key_col).alias("gkey"), "seed") \
+                .agg(F.min("length").cast("int").alias("minlen"))
+            maps = per_seed.groupBy("gkey").agg(
+                F.map_from_entries(F.sort_array(F.collect_list(
+                    F.struct("seed", "minlen")))).alias("new_map"))
+            dists = df.groupBy(F.col(key_col).alias("gkey")).agg(
+                F.min("length").cast("int").alias("dist"))
+            return dists.join(maps, "gkey")
+
+        url_info = info(trav.filter(F.col("head_kind") == "url"),
+                        "head_url").localCheckpoint(eager=True)
+        lit_info = info(trav.filter(F.col("head_kind") == "literal"),
+                        "head_key").localCheckpoint(eager=True)
+        url_rows = url_info.collect()
+        lit_rows = sorted(lit_info.collect(), key=lambda r: r["gkey"])
+        # delete all active traversal rows, then min-merge into endpoint
+        self.paths = self.paths.withColumn(
+            "status",
+            F.when((F.col("status") == "active")
+                   & F.col("seed_paths").isNull(), F.lit("deleted"))
+            .otherwise(F.col("status")))
+        upd = self.paths.join(
+            F.broadcast(url_info.select(
+                F.col("gkey").alias("head_url"),
+                F.col("dist").alias("new_dist"), F.col("new_map"))),
+            "head_url", "left")
+        merged_map = F.map_from_entries(F.sort_array(F.map_entries(
+            F.map_zip_with(
+                "seed_paths", "new_map",
+                lambda k, a, b: F.coalesce(F.least(a, b), a, b)))))
+        is_ep = F.col("seed_paths").isNotNull()
+        self.paths = upd.select(
+            "seed", "head_url", "head_kind", "head_key", "nodes",
+            "predicates",
+            F.when(is_ep & F.col("new_dist").isNotNull(),
+                   F.least("length", "new_dist"))
+            .otherwise(F.col("length")).cast("int").alias("length"),
+            "status", "created_round", "seq",
+            F.when(is_ep & F.col("new_map").isNotNull(), merged_map)
+            .otherwise(F.col("seed_paths")).alias("seed_paths"),
+        )
+        ep_heads = {
+            r["head_url"] for r in self.paths.filter(
+                F.col("seed_paths").isNotNull()
+                & (F.col("head_kind") == "url"))
+            .select("head_url").distinct().collect()
+        }
+        new_rows = []
+        for r in sorted((r for r in url_rows if r["gkey"] not in ep_heads),
+                        key=lambda r: (r["dist"], r["gkey"])):
+            new_rows.append(("", r["gkey"], "url", r["gkey"], [], [],
+                             int(r["dist"]), "active", self.round,
+                             self.seq_counter, dict(r["new_map"])))
+            self.seq_counter += 1
+        for r in lit_rows:
+            new_rows.append(("", None, "literal", r["gkey"], [], [],
+                             int(r["dist"]), "active", self.round,
+                             self.seq_counter, dict(r["new_map"])))
+            self.seq_counter += 1
+        if new_rows:
+            self.paths = self.paths.unionByName(
+                self.spark.createDataFrame(new_rows, schemas.PATHS))
+        self.cfg = dc_replace(self.cfg, path_type="endpoint")
+        if self.store:
+            self._commit({"phase": "convert_to_endpoint"})
+        else:
+            self._checkpoint_local()
+
     def _extend_endpoint(self, rnd: int, fetched_done: list[str]) -> int:
         """Endpoint-path extension (EndpointPath.ts:216-372) as joins +
         map algebra, mirroring the oracle's `_extend_round_endpoint`
@@ -1099,10 +1181,11 @@ class CrawlEngine:
         assert self.paths is not None, "bootstrap or resume first"
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
         if self.cfg.use_bloom and self._bloom is None:
-            self._bloom = BloomFilter(self.cfg.bloom_capacity,
-                                      self.cfg.bloom_fpp)
-            for row in self.resources.select("url").collect():
-                self._bloom.add(row["url"])
+            # executor-side construction (treeAggregate of partials) —
+            # the driver never materializes the URL set for the filter
+            self._bloom = bloom_from_dataframe(
+                self.resources, "url", self.cfg.bloom_capacity,
+                self.cfg.bloom_fpp)
         while self.round < cap:
             rnd = self.round + 1
             eligible = self._eligible_paths()

@@ -179,3 +179,23 @@ def split_by_bloom(spark, candidates, url_col: str, bloom: BloomFilter,
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe_seen = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definitely_new, maybe_seen
+
+
+def bloom_from_dataframe(df, url_col: str, capacity: int,
+                         fpp: float = 0.01) -> BloomFilter:
+    """Build the seen-set Bloom filter executor-side: each partition
+    folds its URLs into a partial filter and partials merge with a
+    treeAggregate of bitwise unions. At 10^10 keys this is the only
+    viable construction — the driver never materializes the URL set,
+    only the final (capacity-sized) bit array.
+    """
+    cap, f = capacity, fpp
+
+    def seq_op(b: BloomFilter, row) -> BloomFilter:
+        v = row[0]
+        if v is not None:
+            b.add(v)
+        return b
+
+    return df.select(url_col).rdd.treeAggregate(
+        BloomFilter(cap, f), seq_op, lambda a, b: a.union(b))

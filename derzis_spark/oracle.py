@@ -525,6 +525,69 @@ class Oracle:
                 if self.resources.get(p.head_url, {}).get("status") == "done"
             ]
 
+    def convert_to_endpoint(self) -> None:
+        """convertToEndpointPaths (process-paths.ts:1640-1716): every
+        active traversal path becomes an endpoint candidate — same head,
+        shortestPathLength = node count, seedPaths = {seed: length}
+        (convertToEndpointSkeletons, process-paths.ts:1698-1716) —
+        min-merged by head with any existing endpoint paths; all
+        traversal paths are then deleted and the crawl continues under
+        endpoint semantics. Deterministic simplification (mirrored in
+        the engine): conversion is one global merge; the reference's
+        interleaved re-extension of done heads during conversion is
+        left to the subsequent run(). Blank-head paths are deleted
+        without conversion."""
+        from dataclasses import replace as dc_replace
+
+        url_c: dict[str, dict] = {}
+        lit_c: dict[str, dict] = {}
+        for p in self.paths:
+            if p.status != "active" or p.ptype != "traversal":
+                continue
+            p.status = "deleted"
+            if p.head_kind == "url":
+                c = url_c.setdefault(
+                    p.head_url, {"dist": p.length, "seeds": {}})
+            elif p.head_kind == "literal":
+                c = lit_c.setdefault(
+                    p.head_key, {"dist": p.length, "seeds": {}})
+            else:
+                continue  # blank heads: deleted, not converted
+            c["dist"] = min(c["dist"], p.length)
+            c["seeds"][p.seed] = min(
+                c["seeds"].get(p.seed, p.length), p.length)
+        existing = {
+            p.head_url: p for p in self.paths
+            if p.ptype == "endpoint" and p.head_kind == "url"
+        }
+        for head in sorted(url_c, key=lambda h: (url_c[h]["dist"], h)):
+            c = url_c[head]
+            ex = existing.get(head)
+            if ex is not None:
+                merged = dict(ex.seed_paths)
+                for s, m in c["seeds"].items():
+                    merged[s] = min(merged.get(s, m), m)
+                ex.seed_paths = tuple(sorted(merged.items()))
+                ex.spl = min(ex.spl, c["dist"])
+            else:
+                self.paths.append(Path(
+                    seed="", head_url=head, head_kind="url",
+                    head_key=head, nodes=(), predicates=(),
+                    status="active", created_round=self._rnd,
+                    seq=self._next_seq(), ptype="endpoint",
+                    spl=c["dist"],
+                    seed_paths=tuple(sorted(c["seeds"].items()))))
+        for key in sorted(lit_c):
+            c = lit_c[key]
+            self.paths.append(Path(
+                seed="", head_url=None, head_kind="literal",
+                head_key=key, nodes=(), predicates=(),
+                status="active", created_round=self._rnd,
+                seq=self._next_seq(), ptype="endpoint",
+                spl=c["dist"],
+                seed_paths=tuple(sorted(c["seeds"].items()))))
+        self.cfg = dc_replace(self.cfg, path_type="endpoint")
+
     def _extend_round(self, fetched_urls: list[str], rnd: int) -> None:
         """Extend paths whose head was fetched this round, cascading to
         new paths whose heads are already fetched (within-round fixpoint)."""

@@ -84,3 +84,22 @@ def test_stats_text_byte_identical(spark):
     text_len = {u: len(t) for u, t in zip(fx.urls, fx.text)}
     for r in stats.select("url", "text_len").collect():
         assert r["text_len"] == text_len[r["url"]]
+
+
+def test_bloom_from_dataframe_matches_driver_build(spark):
+    """Executor-side Bloom construction (treeAggregate of per-partition
+    partials) must produce bit-identical filters to a driver-side add
+    loop — union is an OR of deterministic per-element bit patterns."""
+    import numpy as np
+    from derzis_spark.operators.seen_set import (
+        BloomFilter, bloom_from_dataframe)
+
+    urls = [f"https://o{i % 7}.example.org/p/{i}" for i in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string") \
+        .repartition(8)
+    dist = bloom_from_dataframe(df, "url", capacity=10_000)
+    local = BloomFilter(10_000)
+    for u in urls:
+        local.add(u)
+    assert np.array_equal(dist.bits, local.bits)
+    assert all(dist.might_contain(u) for u in urls)

@@ -181,3 +181,34 @@ def test_endpoint_mode_with_direction_match(spark):
                       path_type="endpoint", follow_direction=True)
     oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
     assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_convert_to_endpoint_then_continue_match(spark):
+    """convertToEndpointPaths (process-paths.ts:1640-1716): after some
+    traversal rounds, convert the frontier to endpoint paths (spl = node
+    count, seedPaths={seed: length}, min-merged by head) and continue
+    crawling under endpoint semantics; engine and oracle must agree on
+    the whole extended state."""
+    from derzis_spark.oracle import build_oracle_for_fixture
+
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=3)
+
+    ora = build_oracle_for_fixture(fx, cfg)
+    ora.run(max_rounds=3)
+    ora.convert_to_endpoint()
+    res_o = ora.run(max_rounds=40)
+
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=3)
+    engine.convert_to_endpoint()
+    engine.run(max_rounds=40)
+
+    assert_match(res_o, engine)
+    # conversion leaves no active traversal rows
+    n_trav = engine.paths.filter(
+        "status = 'active' AND seed_paths IS NULL").count()
+    assert n_trav == 0
