@@ -861,7 +861,8 @@ class CrawlEngine:
                 if dis:
                     ok = ok & ~F.col("pred").isin(sorted(dis))
                 cand = cand.filter(ok)
-            lit = cand.filter(F.col("node_kind") == "literal")
+            lit = cand.filter(F.col("node_kind") == "literal") \
+                .withColumn("add", F.lit(1))
             uri = cand.filter(
                 (F.col("node_kind") == "uri")
                 & F.col("node_c").isNotNull()
@@ -879,20 +880,89 @@ class CrawlEngine:
                     | ((ratio > F.lit(self.cfg.bf_neutral_low))
                        & (ratio < F.lit(self.cfg.bf_neutral_high)))
                 ).drop("bf_subj", "bf_obj")
+            uri = uri.withColumn("add", F.lit(1))
+            if self.cfg.allow_blank_nodes:
+                # blank 2-hop (EndpointPath.ts:270-337): outgoings of
+                # the blank id extend at UNINCREMENTED distance (add=0);
+                # parent head is neither end of the outgoing triple, so
+                # only neutral-zone/unknown predicates pass direction
+                blank = cand.filter(F.col("node_kind") == "blank").select(
+                    "p_head", "p_length", "p_seeds", "parent_seq",
+                    F.col("node_raw").alias("blank_id"))
+                out = F.broadcast(blank).join(
+                    ends.select(
+                        F.col("end").alias("o_end"),
+                        F.col("dir_rank").alias("o_dir"),
+                        F.col("pred").alias("o_pred"),
+                        F.col("node_kind").alias("o_kind"),
+                        F.col("node_key").alias("o_key"),
+                        F.col("node_c").alias("o_c")),
+                    (F.col("blank_id") == F.col("o_end"))
+                    & (F.col("o_dir") == 0)
+                    & (F.col("o_kind") != "blank"))
+                out = out.filter(F.col("o_pred") != F.col("p_head"))
+                if lims:
+                    ovocab = [r["o_pred"] for r in
+                              out.select("o_pred").distinct().collect()]
+                    def omatched(kind):
+                        pats = [l.predicate for l in lims
+                                if kind in l.lims]
+                        return {w for w in ovocab if any(
+                            matches_predicate_pattern(pt, w)
+                            for pt in pats)}
+                    labels = set(LABEL_PREDICATES)
+                    oreq = omatched("require-future")
+                    odis = omatched("disallow-future") - labels
+                    ook = F.lit(True)
+                    if any("require-future" in l.lims for l in lims):
+                        ook = F.col("o_pred").isin(sorted(oreq | labels))
+                    if odis:
+                        ook = ook & ~F.col("o_pred").isin(sorted(odis))
+                    out = out.filter(ook)
+                sel = ["p_head", "p_length", "p_seeds", "parent_seq",
+                       F.col("o_pred").alias("pred"),
+                       F.col("o_kind").alias("node_kind"),
+                       F.col("o_key").alias("node_key"),
+                       F.col("o_c").alias("node_c"),
+                       F.lit(0).alias("add")]
+                out_lit = out.filter(F.col("o_kind") == "literal") \
+                    .select(*sel)
+                out_uri = out.filter(
+                    (F.col("o_kind") == "uri")
+                    & F.col("o_c").isNotNull()
+                    & ~F.array_contains(F.map_keys("p_seeds"),
+                                        F.col("o_c"))).select(*sel)
+                if bf is not None:
+                    ratio = F.col("bf_subj") / F.col("bf_obj")
+                    out_uri = out_uri.join(
+                        F.broadcast(bf), "pred", "left").filter(
+                        F.col("bf_subj").isNull()
+                        | F.col("bf_obj").isNull()
+                        | (F.col("bf_obj") == 0)
+                        | (F.col("bf_subj") == 0)
+                        | ((ratio > F.lit(self.cfg.bf_neutral_low))
+                           & (ratio < F.lit(self.cfg.bf_neutral_high)))
+                    ).drop("bf_subj", "bf_obj")
+                keep = ["p_head", "p_length", "p_seeds", "parent_seq",
+                        "pred", "node_kind", "node_key", "node_c", "add"]
+                uri = uri.select(keep).unionByName(out_uri.select(keep))
+                lit = lit.select(keep).unionByName(out_lit.select(keep))
             uri = uri.localCheckpoint(eager=True)
             lit = lit.localCheckpoint(eager=True)
 
             def grouped(df, key_col):
                 seeds = df.select(
-                    F.col(key_col).alias("gkey"), "p_length",
+                    F.col(key_col).alias("gkey"), "add",
                     F.explode("p_seeds").alias("seed", "m"))
                 per_seed = seeds.groupBy("gkey", "seed").agg(
-                    (F.min("m") + 1).cast("int").alias("minlen"))
+                    F.min(F.col("m") + F.col("add"))
+                    .cast("int").alias("minlen"))
                 maps = per_seed.groupBy("gkey").agg(
                     F.map_from_entries(F.sort_array(F.collect_list(
                         F.struct("seed", "minlen")))).alias("new_map"))
                 dists = df.groupBy(F.col(key_col).alias("gkey")).agg(
-                    (F.min("p_length") + 1).cast("int").alias("dist"))
+                    F.min(F.col("p_length") + F.col("add"))
+                    .cast("int").alias("dist"))
                 return dists.join(maps, "gkey")
 
             url_info = grouped(uri, "node_c").localCheckpoint(eager=True)

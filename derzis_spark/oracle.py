@@ -413,6 +413,61 @@ class Oracle:
             return False
         return True
 
+    def _direction_ok_neither(self, predicate: str,
+                              bf: dict[str, tuple[int, int]]) -> bool:
+        """Direction check when the head is neither subject nor object
+        of the triple (blank-chained outgoings): only neutral-zone or
+        unknown predicates pass (direction-ok.ts:15-33)."""
+        if not self.cfg.follow_direction:
+            return True
+        subj, obj = bf.get(predicate, (0, 0))
+        if obj == 0 or subj == 0:
+            return True
+        ratio = subj / obj
+        return self.cfg.bf_neutral_low < ratio < self.cfg.bf_neutral_high
+
+    def _endpoint_blank_chain(self, parent: Path, blank_id: str,
+                              url_cands: dict, lit_cands: dict,
+                              bf: dict) -> bool:
+        """Blank 2-hop for endpoint paths (EndpointPath.ts:270-337):
+        outgoing triples of ``blank_id`` extend the parent at
+        unincremented distance. Returns True if any candidate was
+        produced."""
+        produced = False
+        p_seeds = dict(parent.seed_paths)
+        outs = []
+        for key, rec in self.triples.items():
+            t: Triple = rec["triple"]
+            if t.subject != blank_id or t.object_kind == "blank":
+                continue
+            outs.append(((t.predicate, t.object_key()), t, key))
+        outs.sort(key=lambda o: o[0])
+        for (pred2, okey), t, tkey in outs:
+            if pred2 == parent.head_url:
+                continue
+            if not self._endpoint_pred_allowed(parent, pred2):
+                continue
+            dist = parent.spl  # blank node hop doesn't count
+            seeds = dict(p_seeds)
+            if t.object_kind == "literal":
+                c = lit_cands.setdefault(okey, {"dist": dist, "seeds": {}})
+            else:
+                if not self._direction_ok_neither(pred2, bf):
+                    continue
+                node_c = canonicalize_url(t.object_value)
+                if node_c is None:
+                    continue
+                if node_c in p_seeds:
+                    continue  # seed-cycle
+                c = url_cands.setdefault(
+                    node_c, {"dist": dist, "seeds": {}})
+                self.proc_triples.add(tkey)
+            c["dist"] = min(c["dist"], dist)
+            for s, m in seeds.items():
+                c["seeds"][s] = min(c["seeds"].get(s, m), m)
+            produced = True
+        return produced
+
     def _extend_round_endpoint(self, fetched_urls: list[str],
                                rnd: int) -> None:
         """Endpoint-path extension (EndpointPath.ts:216-372): wave
@@ -423,10 +478,12 @@ class Oracle:
         behavior, mirrored exactly by the engine: candidates from all
         wave parents merge globally before path creation; literal
         candidates are deduped per wave; a parent counts as extended if
-        it produced >=1 valid candidate. Blank nodes are not supported
-        in endpoint mode here (gated in config)."""
-        assert not self.cfg.allow_blank_nodes, (
-            "endpoint mode + blank nodes not implemented")
+        it produced >=1 valid candidate. Blank-node chaining follows
+        EndpointPath.ts:270-337: outgoing triples of a blank object
+        extend at UNINCREMENTED distance ("blank node hop doesn't
+        count"), and since the parent head is neither subject nor
+        object of the outgoing triple, the direction filter admits only
+        neutral-zone/unknown predicates (direction-ok.ts:15-33)."""
         worklist = [
             p for p in self.paths
             if p.status == "active" and p.head_kind == "url"
@@ -450,9 +507,15 @@ class Oracle:
                             parent.head_url):
                     if pred == parent.head_url:
                         continue  # isExtensionValid predicate==head rule
-                    if node_kind == "blank":
-                        continue
                     if not self._endpoint_pred_allowed(parent, pred):
+                        continue
+                    if node_kind == "blank":
+                        if not self.cfg.allow_blank_nodes:
+                            continue
+                        if self._endpoint_blank_chain(
+                                parent, node_value, url_cands, lit_cands,
+                                bf):
+                            produced = True
                         continue
                     dist = parent.spl + 1
                     seeds = {s: m + 1 for s, m in p_seeds.items()}

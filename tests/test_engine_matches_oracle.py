@@ -212,3 +212,18 @@ def test_convert_to_endpoint_then_continue_match(spark):
     n_trav = engine.paths.filter(
         "status = 'active' AND seed_paths IS NULL").count()
     assert n_trav == 0
+
+
+@pytest.mark.slow
+def test_endpoint_mode_with_blank_nodes_match(spark):
+    """Endpoint mode + allow_blank_nodes: blank 2-hop chaining at
+    unincremented distance (EndpointPath.ts:270-337, 'blank node hop
+    doesn't count'); engine and oracle must agree exactly."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42,
+                          blank_rate=0.3)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=40,
+                      path_type="endpoint", allow_blank_nodes=True)
+    oracle, engine = run_both(spark, fx, cfg)
+    assert_match(oracle, engine)
+    assert engine.triples.filter("object_kind = 'blank'").count() > 0
