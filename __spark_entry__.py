@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additional_resources_topup": Q.q_additional_resources_topup,
         # §2.3 joins / §2.6 set ops
         "seen_set_antijoin": Q.q_seen_set_antijoin,
+        "alternate_redirects": Q.q_alternate_redirects,
         "endpoint_merge": Q.q_endpoint_merge,
         "path_extension_join": Q.q_path_extension_join,
         "domains_rollup": Q.q_domains_rollup,
@@ -106,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
         "ann_lsh_buckets": P.q_ann_lsh_buckets,
         "embedding_centroids": P.q_embedding_centroids,
+        "ann_ivf": P.q_ann_ivf,
+        "embedding_near_dup": P.q_embedding_near_dup,
         # training-data pipeline: text analysis
         "token_count": P.q_token_count,
         "quality_score": P.q_quality_score,
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_admission": Q.SQL_POLITENESS_ADMISSION,
         "additional_resources_topup": Q.SQL_ADDITIONAL_TOPUP,
         "seen_set_antijoin": Q.SQL_SEEN_SET_ANTIJOIN,
+        "alternate_redirects": Q.SQL_ALTERNATE_REDIRECTS,
         "endpoint_merge": Q.SQL_ENDPOINT_MERGE,
         "path_extension_join": Q.SQL_PATH_EXTENSION_JOIN,
         "domains_rollup": Q.SQL_DOMAINS_ROLLUP,
@@ -157,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_cosine": P.SQL_ANN_BRUTEFORCE,
         "ann_lsh_buckets": P.SQL_ANN_LSH_BUCKETS,
         "embedding_centroids": P.SQL_EMBEDDING_CENTROIDS,
+        "ann_ivf": P.SQL_ANN_IVF,
+        "embedding_near_dup": P.SQL_EMBEDDING_NEAR_DUP,
         "token_count": P.SQL_TOKEN_COUNT,
         "quality_score": P.SQL_QUALITY_SCORE,
         "lang_id": P.SQL_LANG_ID,

@@ -65,6 +65,9 @@ class CrawlConfig:
     bf_neutral_high: float = 1.2
     #: traversal | endpoint (reference: config/src/index.ts:23)
     path_type: str = "traversal"
+    #: max alternate-URL redirect hops per fetch
+    #: (reference: http.domainCrawl.maxRedirects 5, Worker.ts:698,744)
+    max_redirects: int = 5
     #: safety cap on rounds
     max_rounds: int = 1000
     #: use the Bloom-filter pre-pass for the seen-set anti-join

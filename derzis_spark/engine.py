@@ -510,6 +510,7 @@ class CrawlEngine:
                 trace.append((rnd, rseq, url, origin, "error:disallowed"))
             else:
                 attempted.append((url, origin, rseq))
+        resolved_pairs: list[tuple[str, str]] = []
         if attempted:
             att_df = self.spark.createDataFrame(
                 attempted, "url string, origin string, rseq int")
@@ -517,15 +518,36 @@ class CrawlEngine:
                 "url", "origin", "rseq",
                 udfs.extract_text(F.col("html")).alias("extracted_text"),
                 udfs.parse_page_triples(F.col("html")).alias("raw_triples"),
+                udfs.has_rdf_content(F.col("html")).alias("has_rdf"),
+                udfs.alternate_url(F.col("html")).alias("alt_url"),
             )
             found.cache()
             self._found_cache = found  # unpersisted at round end
-            found_urls = {
-                r["url"] for r in found.select("url").collect()
+            meta = {
+                r["url"]: (r["has_rdf"], r["alt_url"])
+                for r in found.select("url", "has_rdf", "alt_url").collect()
             }
+            # alternate-URL redirect resolution (Worker.ts:744-766):
+            # wrong-MIME pages chase their RDF alternate link, one
+            # batched pages-join per hop (≤ max_redirects hops total
+            # for the whole round, not per URL)
+            status_by_url: dict[str, str] = {}
+            pending: list[tuple[str, str, int]] = []
             for url, origin, rseq in attempted:
-                status = "done" if url in found_urls else "error:not_found"
-                trace.append((rnd, rseq, url, origin, status))
+                m = meta.get(url)
+                if m is None:
+                    status_by_url[url] = "error:not_found"
+                elif m[0]:
+                    status_by_url[url] = "done"
+                else:
+                    st, nxt = self._redirect_step(m[1], 0)
+                    if st is not None:
+                        status_by_url[url] = st
+                    else:
+                        pending.append((url, nxt, 1))
+            resolved_pairs = self._resolve_alternates(pending, status_by_url)
+            for url, origin, rseq in attempted:
+                trace.append((rnd, rseq, url, origin, status_by_url[url]))
         else:
             found = None
         trace.sort(key=lambda t: t[1])
@@ -537,6 +559,23 @@ class CrawlEngine:
                              F.explode("raw_triples").alias("t"))
                 .select("source", "t.*")
             )
+            if resolved_pairs:
+                # triples parsed from the resolved alternate pages are
+                # attributed to the ORIGINAL scheduled URL (the crawl
+                # result's url in the reference, Worker.ts:385-470)
+                map_df = self.spark.createDataFrame(
+                    resolved_pairs, "alt_url string, source string")
+                q_alt = (
+                    self.pages
+                    .select(F.col("url").alias("alt_url"), "html")
+                    .join(F.broadcast(map_df), "alt_url")
+                    .select(
+                        "source",
+                        F.explode(udfs.parse_page_triples(
+                            F.col("html"))).alias("t"))
+                    .select("source", "t.*")
+                )
+                q = q.unionByName(q_alt)
             subj_is_blank = F.col("subject").startswith("_:")
             obj_is_blank = F.col("object_kind") == "blank"
             q = q.filter(F.col("object_value") != "")
@@ -556,6 +595,59 @@ class CrawlEngine:
                 q = q.filter(~subj_is_blank & ~obj_is_blank)
             quads = q
         return trace, quads
+
+    def _redirect_step(self, alt: str | None, redirect: int):
+        """One wrong-MIME decision (handleHttpResponse, Worker.ts:744-760):
+        no alternate link → MIME error; hop budget spent → too many
+        redirects; else follow. Returns (terminal_status|None, next_url)."""
+        if alt is None:
+            return "error:mime", None
+        if redirect >= self.cfg.max_redirects:
+            return "error:too_many_redirects", None
+        return None, alt
+
+    def _resolve_alternates(self, pending: list[tuple[str, str, int]],
+                            status_by_url: dict[str, str]
+                            ) -> list[tuple[str, str]]:
+        """Chase alternate-link chains for all pending URLs at once —
+        one broadcast pages-join per hop level (the reference recurses
+        per fetch, getHttpContent, Worker.ts:764; batching the hop level
+        keeps the job count bounded by max_redirects per round).
+
+        Mutates ``status_by_url`` with terminal statuses and returns
+        ``(final_alt_url, original_url)`` pairs for resolved chains."""
+        resolved: list[tuple[str, str]] = []
+        while pending:
+            alts = sorted({a for (_, a, _) in pending})
+            alt_df = self.spark.createDataFrame(
+                [(a,) for a in alts], "alt_url string")
+            rows = (
+                self.pages.select(F.col("url").alias("alt_url"), "html")
+                .join(F.broadcast(alt_df), "alt_url")
+                .select(
+                    "alt_url",
+                    udfs.has_rdf_content(F.col("html")).alias("has_rdf"),
+                    udfs.alternate_url(F.col("html")).alias("next_alt"))
+                .collect()
+            )
+            meta = {r["alt_url"]: (r["has_rdf"], r["next_alt"])
+                    for r in rows}
+            nxt: list[tuple[str, str, int]] = []
+            for orig, alt, redirect in pending:
+                m = meta.get(alt)
+                if m is None:
+                    status_by_url[orig] = "error:not_found"
+                elif m[0]:
+                    status_by_url[orig] = "done"
+                    resolved.append((alt, orig))
+                else:
+                    st, nxt_alt = self._redirect_step(m[1], redirect)
+                    if st is not None:
+                        status_by_url[orig] = st
+                    else:
+                        nxt.append((orig, nxt_alt, redirect + 1))
+            pending = nxt
+        return resolved
 
     def _merge_triples(self, quads: DataFrame) -> None:
         """Per-page dedup + MERGE into the triple store with source-set

@@ -92,6 +92,25 @@ def _page_html(text: str, triples: list[Triple]) -> bytes:
     )
 
 
+def _redirect_page_html(text: str, alt_href: str | None) -> bytes:
+    """An HTML-only page body (no N-Triples payload = wrong MIME in the
+    reference's terms, Worker.ts:744-750), optionally carrying an RDF
+    alternate link (worker-utils.ts:146-160)."""
+    link = (
+        f'<link rel="alternate" type="application/n-triples" '
+        f'href="{alt_href}">'
+        if alt_href
+        else ""
+    )
+    return (
+        b"<html><head><meta charset=\"utf-8\">"
+        + link.encode("utf-8")
+        + b"</head><body><text>"
+        + text.encode("utf-8")
+        + b"</text></body></html>"
+    )
+
+
 def generate_fixture(
     n_pages: int = 400,
     n_origins: int = 12,
@@ -103,7 +122,14 @@ def generate_fixture(
     blank_rate: float = 0.1,
     text_words: tuple = (8, 40),
     min_links: int = 1,
+    alt_rate: float = 0.0,
 ) -> CrawlFixture:
+    """``alt_rate`` > 0 converts that fraction of pages into HTML-only
+    pages whose RDF payload lives behind an alternate-link chain
+    (Worker.ts:744-766): depth-1/2/3 chains that resolve, a depth-6
+    chain (> maxRedirects 5 → too-many-redirects), a chain ending at a
+    missing page (not_found), and a linkless HTML page (MIME error).
+    Default 0.0 keeps the fixture byte-identical to earlier rounds."""
     rng = random.Random(seed)
     fx = CrawlFixture()
 
@@ -130,6 +156,7 @@ def generate_fixture(
     preds = [f"{PRED_NS}p{i}" for i in range(n_preds)]
 
     base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    page_triples: list[list[Triple]] = []
 
     for j, url in enumerate(urls):
         n_words = rng.randint(*text_words)
@@ -172,6 +199,52 @@ def generate_fixture(
         fx.html.append(_page_html(text, triples))
         fx.text.append(text)
         fx.lang.append(lang)
+        if alt_rate:
+            page_triples.append(triples)
+
+    # alternate-link chains (separate RNG stream: alt_rate=0 fixtures
+    # stay byte-identical to rounds generated before this feature)
+    if alt_rate:
+        arng = random.Random(seed ^ 0x5EED)
+        conv = 0
+        next_ts = n_pages
+        for j in range(n_pages):
+            if arng.random() >= alt_rate:
+                continue
+            url, origin = urls[j], origins[page_origin[j]]
+            triples = page_triples[j]
+            conv += 1
+            case = conv % 10
+            if case == 9:
+                # linkless HTML page → MimeTypeError (Worker.ts:748-750)
+                fx.html[j] = _redirect_page_html(fx.text[j], None)
+                continue
+            if case == 8:
+                # alternate target absent from pages → not_found
+                fx.html[j] = _redirect_page_html(
+                    fx.text[j], f"{origin}/alt/{j}/missing")
+                continue
+            if case == 7:
+                depth = 6  # > maxRedirects(5) → TooManyRedirectsError
+            elif case == 6:
+                depth = 3
+            elif case in (4, 5):
+                depth = 2
+            else:
+                depth = 1
+            alt_urls = [f"{origin}/alt/{j}/{d}" for d in range(1, depth + 1)]
+            fx.html[j] = _redirect_page_html(fx.text[j], alt_urls[0])
+            for d, alt in enumerate(alt_urls):
+                last = d == depth - 1
+                fx.urls.append(alt)
+                fx.warc_ts.append(base_ts + dt.timedelta(seconds=next_ts))
+                next_ts += 1
+                fx.html.append(
+                    _page_html("", triples) if last
+                    else _redirect_page_html("", alt_urls[d + 1]))
+                fx.text.append("")
+                fx.lang.append("")
+        url_set = set(fx.urls)
 
     # robots per origin
     for i, origin in enumerate(origins):

@@ -277,6 +277,66 @@ def extract_ntriples_block(html: bytes | None) -> str:
 
 
 # --------------------------------------------------------------------------
+# alternate-URL redirect discovery (wrong-MIME fallback)
+# --------------------------------------------------------------------------
+
+#: accepted RDF MIME types, in the reference's priority order
+#: (config/src/index.ts:96-104; findUrlInHtml iterates them in order,
+#: worker/src/lib/worker-utils.ts:146-158)
+ACCEPTED_RDF_MIMES = (
+    "text/turtle",
+    "application/trig",
+    "application/n-quads",
+    "application/n-triples",
+    "text/n3",
+    "application/ld+json",
+    "application/rdf+xml",
+)
+
+_LINK_TAG_RE = re.compile(rb"<link\b[^>]*>", re.IGNORECASE)
+_LINK_ATTR_RE = re.compile(rb'([a-zA-Z-]+)\s*=\s*"([^"]*)"')
+
+
+def has_rdf_content(html: bytes | None) -> bool:
+    """True when the page body carries an RDF payload the parser accepts.
+
+    In the reference the equivalent signal is the response's
+    Content-Type being one of the accepted RDF MIMEs
+    (worker/src/lib/Worker.ts:744-750); the pages-table substitute has
+    no HTTP headers, so "accepted MIME" ≡ an embedded N-Triples block.
+    """
+    return html is not None and _NT_BLOCK_RE.search(html) is not None
+
+
+def find_alternate_url(html: bytes | None) -> str | None:
+    """Find an RDF alternate link in an HTML body.
+
+    Mirrors ``findUrlInHtml`` (worker/src/lib/worker-utils.ts:146-160):
+    for each accepted MIME *in priority order*, return the href of the
+    first ``<link rel="alternate" type="<mime>">`` tag in document
+    order. Attribute order inside the tag is free (cheerio parity).
+    The Link-header branch (worker-utils.ts:127-133) has no analog here
+    because the pages table carries no HTTP headers.
+    """
+    if html is None:
+        return None
+    links: list[dict[bytes, bytes]] = []
+    for tag in _LINK_TAG_RE.finditer(html):
+        attrs = {
+            k.lower(): v for k, v in _LINK_ATTR_RE.findall(tag.group(0))
+        }
+        if attrs.get(b"rel", b"").lower() == b"alternate":
+            links.append(attrs)
+    for mime in ACCEPTED_RDF_MIMES:
+        for attrs in links:
+            if attrs.get(b"type", b"").decode("utf-8", "replace") == mime:
+                href = attrs.get(b"href")
+                if href:
+                    return href.decode("utf-8", "replace")
+    return None
+
+
+# --------------------------------------------------------------------------
 # robots.txt
 # --------------------------------------------------------------------------
 

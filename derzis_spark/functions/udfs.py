@@ -57,6 +57,18 @@ def parse_page_triples(html: pd.Series) -> pd.Series:
     return html.map(one, na_action="ignore")
 
 
+@pandas_udf(BooleanType())
+def has_rdf_content(html: pd.Series) -> pd.Series:
+    """Accepted-MIME signal per page (Worker.ts:744-750 analog)."""
+    return html.map(core.has_rdf_content)
+
+
+@pandas_udf(StringType())
+def alternate_url(html: pd.Series) -> pd.Series:
+    """RDF alternate-link discovery (worker-utils.ts:122-160 analog)."""
+    return html.map(core.find_alternate_url, na_action="ignore")
+
+
 def make_page_stats(allow_blank_nodes: bool = False):
     """Fused per-page fetch+extract kernel: text extraction, N-Triples
     parse, quad-validity filter, and out-node canonicalization+dedup in

@@ -41,6 +41,8 @@ from derzis_spark.functions.core import (
     extract_ntriples_block,
     extract_text,
     filter_quads,
+    find_alternate_url,
+    has_rdf_content,
     is_blank_node_id,
     matches_predicate_pattern,
     parse_ntriples,
@@ -701,6 +703,26 @@ class Oracle:
                 d.crawl_delay = self.cfg.default_crawl_delay
                 d.next_allowed = 0
 
+    def _resolve_redirects(self, html) -> tuple[str, bytes | None]:
+        """Follow RDF alternate links until accepted content is found
+        (handleHttpResponse recursion, Worker.ts:744-766): no alternate
+        → MIME error; > max_redirects hops → too-many-redirects; a hop
+        whose target has no pages row → not_found."""
+        redirect = 0
+        cur = html
+        while not has_rdf_content(cur):
+            alt = find_alternate_url(cur)
+            if alt is None:
+                return ("error:mime", None)
+            if redirect >= self.cfg.max_redirects:
+                return ("error:too_many_redirects", None)
+            page = self.pages.get(alt)
+            if page is None:
+                return ("error:not_found", None)
+            cur = page[0]
+            redirect += 1
+        return ("ok", cur)
+
     def run(self, max_rounds: int | None = None) -> CrawlResult:
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
         rnd = self._rnd
@@ -749,7 +771,15 @@ class Oracle:
                     continue
                 html, _text, _lang = page
                 extract_text(html)  # byte-identical invariant checked in tests
-                raw = parse_ntriples(extract_ntriples_block(html))
+                # alternate-URL redirect resolution on wrong MIME
+                # (Worker.ts:744-766, worker-utils.ts:122-160)
+                fstatus, rdf_html = self._resolve_redirects(html)
+                if fstatus != "ok":
+                    self.resources[url]["status"] = "error"
+                    self.trace.append(
+                        TraceEntry(rnd, seq, url, origin, fstatus))
+                    continue
+                raw = parse_ntriples(extract_ntriples_block(rdf_html))
                 quads = filter_quads(raw, url, self.cfg.allow_blank_nodes)
                 for t in quads:
                     key = triple_key(t)

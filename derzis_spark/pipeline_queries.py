@@ -328,6 +328,190 @@ SQL_EMBEDDING_CENTROIDS = """
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN — the scale path beyond brute force:
+    (1) coarse quantizer = per-label centroids (k=10 cells),
+    (2) every vector is assigned to its nearest cell by cosine,
+    (3) the query (vec_id=0) probes the nprobe=3 nearest cells,
+    (4) exact cosine top-10 *within the probed cells only*.
+    At 100 TB the assignment is a broadcast join against k centroids
+    and the search scans ~nprobe/k of the corpus; cells are the
+    partition key so a probe is partition pruning."""
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = (
+        pos.groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("av"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "av"))),
+            lambda x: x["av"]).alias("cv"))
+    )
+    # (2) assign vectors to nearest cell (round-4 cosine, cell tiebreak)
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cos", F.round(
+            _dot(F.col("embedding"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+               * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 4))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+    # (3) probe cells: 3 nearest centroids to the query vector
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    pw = Window.orderBy(F.desc("qcos"), F.asc("cell"))
+    probed = (
+        cent.crossJoin(F.broadcast(qv))
+        .withColumn("qcos", F.round(
+            _dot(F.col("cv"), F.col("qv"))
+            / (F.sqrt(_dot(F.col("cv"), F.col("cv")))
+               * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 4))
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= 3)
+        .select("cell")
+    )
+    # (4) exact top-10 within the probed cells
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+               * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 4))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "vec_id", "label", "cell", "cosine")
+    )
+
+_SQL_COS = """
+        list_aggregate(list_transform(range(1, 65),
+          i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')
+        / (SQRT(list_aggregate(list_transform(range(1, 65),
+             i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), 'sum'))
+         * SQRT(list_aggregate(list_transform(range(1, 65),
+             i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')))
+"""
+
+SQL_ANN_IVF = f"""
+  WITH centav AS (
+    SELECT label, i, AVG(embedding[i + 1]::DOUBLE) AS av
+    FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+    GROUP BY label, i
+  ),
+  cent AS (
+    SELECT label AS cell, list(av ORDER BY i) AS cv
+    FROM centav GROUP BY label
+  ),
+  assigned AS (
+    SELECT vec_id, label, embedding, cell
+    FROM (
+      SELECT e.vec_id, e.label, e.embedding, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_SQL_COS.format(a='e.embedding', b='c.cv')}, 4)
+                        DESC, c.cell) AS arank
+      FROM embeddings e CROSS JOIN cent c
+    ) WHERE arank = 1
+  ),
+  q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+  probed AS (
+    SELECT cell FROM (
+      SELECT c.cell,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND({_SQL_COS.format(a='c.cv', b='q.qv')}, 4)
+                        DESC, c.cell) AS prank
+      FROM cent c CROSS JOIN q
+    ) WHERE prank <= 3
+  )
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank,
+         vec_id, label, cell, cosine
+  FROM (
+    SELECT a.vec_id, a.label, a.cell,
+           ROUND({_SQL_COS.format(a='a.embedding', b='q.qv')}, 4) AS cosine
+    FROM assigned a JOIN probed p ON a.cell = p.cell CROSS JOIN q
+    WHERE a.vec_id <> 0
+  )
+  QUALIFY rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, LSH-blocked: 4-bit
+    random-hyperplane signature (planes = vec_ids 1..4) buckets the
+    corpus; exact cosine runs only on same-bucket pairs; pairs with
+    cosine ≥ 0.2 are near-dups. At scale the bucket join replaces the
+    O(n²) self-join — the pair count drops by ~2^bits."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = e.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("embedding").alias("plane"))
+    sig = (
+        e.crossJoin(F.broadcast(planes))
+        .withColumn("bit",
+                    F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
+                    .otherwise(0))
+        .groupBy("vec_id")
+        .agg(F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2.0), F.col("plane_id") - 1).cast("long")
+        ).cast("long").alias("bucket"))
+        .join(e, "vec_id")
+        .select("vec_id", "bucket", "embedding")
+    )
+    a = sig.select(F.col("vec_id").alias("a_id"), "bucket",
+                   F.col("embedding").alias("a_emb"))
+    b = sig.select(F.col("vec_id").alias("b_id"), "bucket",
+                   F.col("embedding").alias("b_emb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(
+            _dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.sqrt(_dot(F.col("a_emb"), F.col("a_emb")))
+               * F.sqrt(_dot(F.col("b_emb"), F.col("b_emb")))), 4))
+        .filter(F.col("cosine") >= 0.2)
+    )
+    return pairs.select("bucket", "a_id", "b_id", "cosine")
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+  WITH planes AS (
+    SELECT vec_id AS plane_id, embedding AS plane
+    FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+  ),
+  sig AS (
+    SELECT e.vec_id,
+           CAST(SUM(
+             (CASE WHEN list_aggregate(list_transform(range(1, 65),
+               i -> e.embedding[i]::DOUBLE * p.plane[i]::DOUBLE), 'sum') > 0
+               THEN 1 ELSE 0 END)
+             * CAST(POW(2.0, p.plane_id - 1) AS BIGINT)
+           ) AS BIGINT) AS bucket
+    FROM embeddings e, planes p
+    GROUP BY e.vec_id
+  ),
+  vecs AS (
+    SELECT s.vec_id, s.bucket, e.embedding
+    FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+  )
+  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 4)
+           AS cosine
+  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 4) >= 0.2
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

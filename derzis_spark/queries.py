@@ -797,3 +797,71 @@ SQL_TRIPLE_DEDUP_UPSERT = f"""
          MAX(src_url) AS last_source
   FROM links GROUP BY predicate, dst_url
 """
+
+
+def q_alternate_redirects(spark, sf_dir):
+    """Alternate-URL redirect resolution (Worker.ts:744-766,
+    worker-utils.ts:122-160): wrong-MIME pages chase their RDF
+    alternate link up to 5 hops. Derived substrate: doc d is HTML-only
+    iff d % 7 == 3 and its alternate target is (d*5+2) % N; chains are
+    resolved with one equi-join per hop level (exactly the engine's
+    batched hop resolution, engine._resolve_alternates), terminal
+    statuses done / error:too_many_redirects."""
+    from functools import reduce
+
+    p = pages_view(spark, sf_dir)
+    n = p.count()
+    nodes = p.select(
+        F.col("doc_id").alias("node"),
+        F.col("url").alias("node_url"),
+        ((F.col("doc_id") % 7) == 3).alias("is_html"),
+        ((F.col("doc_id") * 5 + 2) % F.lit(n)).alias("alt"),
+    )
+    state = nodes.filter("is_html").select(
+        F.col("node_url").alias("src_url"), F.col("alt").alias("cur"))
+    done_parts = []
+    for hop in range(1, 6):
+        st = state.join(
+            nodes.select(F.col("node").alias("cur"),
+                         "node_url", "is_html", "alt"),
+            "cur")
+        done_parts.append(
+            st.filter(~F.col("is_html")).select(
+                "src_url",
+                F.col("node_url").alias("final_url"),
+                F.lit(hop).cast("int").alias("hops"),
+                F.lit("done").alias("status")))
+        state = st.filter("is_html").select(
+            "src_url", F.col("alt").alias("cur"))
+    toomany = state.select(
+        "src_url",
+        F.lit(None).cast("string").alias("final_url"),
+        F.lit(5).cast("int").alias("hops"),
+        F.lit("error:too_many_redirects").alias("status"))
+    return reduce(DataFrame.unionByName, done_parts).unionByName(toomany)
+
+SQL_ALTERNATE_REDIRECTS = f"""
+  WITH RECURSIVE pages AS ({PAGES_SQL}),
+  nodes AS (
+    SELECT doc_id AS node, url AS node_url,
+           (doc_id % 7) = 3 AS is_html,
+           (doc_id * 5 + 2) % (SELECT COUNT(*) FROM pages) AS alt
+    FROM pages
+  ),
+  chase(src_url, cur, fetched) AS (
+    SELECT node_url, alt, 0 FROM nodes WHERE is_html
+    UNION ALL
+    SELECT c.src_url, n.alt, c.fetched + 1
+    FROM chase c JOIN nodes n ON n.node = c.cur
+    WHERE n.is_html AND c.fetched + 1 < 5
+  )
+  SELECT c.src_url, n.node_url AS final_url,
+         CAST(c.fetched + 1 AS INT) AS hops, 'done' AS status
+  FROM chase c JOIN nodes n ON n.node = c.cur
+  WHERE NOT n.is_html
+  UNION ALL
+  SELECT c.src_url, NULL AS final_url, CAST(5 AS INT) AS hops,
+         'error:too_many_redirects' AS status
+  FROM chase c JOIN nodes n ON n.node = c.cur
+  WHERE n.is_html AND c.fetched = 4
+"""
