@@ -164,6 +164,7 @@ class CrawlEngine:
         # merge, and edge construction is a pure per-key function)
         self.ends: DataFrame | None = None
         self._triple_keys: set[tuple] = set()
+        self._triples_dirty = False
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -291,18 +292,27 @@ class CrawlEngine:
         self.paths = tables["paths"]
         self.triples = tables["triples"]
         self.ends = self.ends.localCheckpoint(eager=True)
+        self._triples_dirty = False
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
 
     def _checkpoint_local(self) -> None:
         """Lineage truncation when running without a snapshot store.
-        The four tables are independent, so their materialization jobs
-        run concurrently (Spark's scheduler is thread-safe; on a real
-        cluster these are the parallel MERGE commits of the round)."""
+        The tables are independent, so their materialization jobs run
+        concurrently (Spark's scheduler is thread-safe; on a real
+        cluster these are the parallel MERGE commits of the round).
+
+        triples/ends are append-only unions of driver-local batches
+        (flat lineage, no upstream recompute), so they only need a
+        checkpoint after the rare collision-merge rewrite
+        (_merge_triples) — checkpointing them every round would
+        re-materialize O(total store) per round."""
         from concurrent.futures import ThreadPoolExecutor
 
-        tables = ["resources", "domains", "paths", "triples", "ends"]
+        tables = ["resources", "domains", "paths"]
+        if self._triples_dirty:
+            tables.append("triples")
         with ThreadPoolExecutor(max_workers=len(tables)) as ex:
             futs = {
                 t: ex.submit(getattr(self, t).localCheckpoint, eager=True)
@@ -310,6 +320,7 @@ class CrawlEngine:
             }
             for t, fut in futs.items():
                 setattr(self, t, fut.result())
+        self._triples_dirty = False
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
@@ -651,26 +662,55 @@ class CrawlEngine:
 
     def _merge_triples(self, quads: DataFrame) -> None:
         """Per-page dedup + MERGE into the triple store with source-set
-        union (Triple.ts:79-232; sources $addToSet → array_distinct)."""
+        union (Triple.ts:79-232; sources $addToSet → array_distinct).
+
+        Incremental: the round's deduped triples are collected once
+        (the keys feed the edge view and Bloom mirrors anyway). Fresh
+        keys APPEND — no shuffle, no re-aggregation of the store.
+        Only keys already present (a triple re-extracted from another
+        page) take the merge join, and that is a broadcast of the
+        collision rows against the store — the MERGE INTO shape at
+        Iceberg scale. The old formulation re-grouped the ENTIRE store
+        every round: O(total triples) per round, which is what makes a
+        long crawl quadratic."""
         key = ["subject", "predicate", "object_kind", "object_value",
                "object_datatype", "object_language"]
         new_triples = quads.groupBy(*key).agg(
             F.sort_array(F.collect_set("source")).alias("sources"))
-        self.triples = (
-            self.triples.unionByName(new_triples)
-            .groupBy(*key)
-            .agg(F.sort_array(F.array_distinct(
-                F.flatten(F.collect_list("sources")))).alias("sources"))
-        )
-        # incremental edge-view maintenance: O(round's new keys) only
-        key_rows = quads.select(*key).distinct().collect()
+        nrows = new_triples.collect()  # one job, O(round's new keys)
+        fresh_rows: list[tuple] = []
+        coll_rows: list[tuple] = []
         edge_rows: list[tuple] = []
-        for r in key_rows:
-            k = tuple(r)
+        for r in nrows:
+            k = tuple(r[c] for c in key)
             if k in self._triple_keys:
-                continue
-            self._triple_keys.add(k)
-            edge_rows.extend(_edge_rows_for_key(k))
+                coll_rows.append(k + (r["sources"],))
+            else:
+                self._triple_keys.add(k)
+                fresh_rows.append(k + (r["sources"],))
+                edge_rows.extend(_edge_rows_for_key(k))
+        if fresh_rows:
+            self.triples = self.triples.unionByName(
+                self.spark.createDataFrame(fresh_rows, schemas.TRIPLES))
+        if coll_rows:
+            upd = (self.spark.createDataFrame(coll_rows, schemas.TRIPLES)
+                   .withColumnRenamed("sources", "new_sources"))
+            cond = None
+            for c in key:
+                e = self.triples[c].eqNullSafe(upd[c])
+                cond = e if cond is None else (cond & e)
+            self.triples = (
+                self.triples.join(F.broadcast(upd), cond, "left")
+                .select(
+                    *[self.triples[c] for c in key],
+                    F.when(
+                        F.col("new_sources").isNotNull(),
+                        F.sort_array(F.array_distinct(F.concat(
+                            self.triples["sources"],
+                            F.col("new_sources")))))
+                    .otherwise(self.triples["sources"]).alias("sources"))
+            )
+            self._triples_dirty = True
         if edge_rows:
             self.ends = self.ends.unionByName(
                 self.spark.createDataFrame(edge_rows, _ENDS_SCHEMA))
@@ -912,7 +952,8 @@ class CrawlEngine:
                 (F.col("status") == "active")
                 & (F.col("head_kind") == "url")),
             "head_url", list(fetched_done))
-        ends = self.ends
+        ends = self.ends.cache()
+        self._wave_caches.append(ends)
         bf = None
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
@@ -1162,7 +1203,11 @@ class CrawlEngine:
                 (F.col("status") == "active")
                 & F.col("head_kind").isin("url", "blank")),
             "head_url", list(fetched_done))
-        ends = self.ends
+        # every wave probes the full edge view; one cached
+        # materialization per round beats re-scanning the union of
+        # appended batches wave after wave (dropped at round end)
+        ends = self.ends.cache()
+        self._wave_caches.append(ends)
         bf = None
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
@@ -1348,19 +1393,25 @@ class CrawlEngine:
             self._bloom = bloom_from_dataframe(
                 self.resources, "url", self.cfg.bloom_capacity,
                 self.cfg.bloom_fpp)
+        import time as _time
         while self.round < cap:
+            _t = {}
+            _t0 = _time.time()
             rnd = self.round + 1
             eligible = self._eligible_paths()
             eligible.cache()
             n_robots = self._phase_robots(rnd, eligible)
             sched_rows = self._phase_schedule(rnd, eligible)
+            _t["sched_s"] = round(_time.time() - _t0, 2)
             n_sched = len(sched_rows)
             if n_robots == 0 and n_sched == 0:
                 break
             self.round = rnd
             n_done = 0
             if n_sched:
+                _t1 = _time.time()
                 trace, quads = self._phase_fetch(rnd, sched_rows)
+                _t["fetch_s"] = round(_time.time() - _t1, 2)
                 self._trace_rows.extend(trace)
                 self._done_urls.update(
                     t[2] for t in trace if t[4] == "done")
@@ -1392,17 +1443,21 @@ class CrawlEngine:
                                 F.coalesce("new_status", "status"))
                     .drop("new_status")
                 )
+                _t1 = _time.time()
                 if quads is not None:
                     quads.cache()
                     self._merge_triples(quads)
                     self._discover_urls(quads)
+                _t["ingest_s"] = round(_time.time() - _t1, 2)
                 fetched_done = [t[2] for t in trace if t[4] == "done"]
                 n_done = len(fetched_done)
+                _t1 = _time.time()
                 if fetched_done:
                     if self.cfg.path_type == "endpoint":
                         self._extend_endpoint(rnd, fetched_done)
                     else:
                         self._extend(rnd, fetched_done)
+                _t["extend_s"] = round(_time.time() - _t1, 2)
                 if quads is not None:
                     quads.unpersist()
                 if self._found_cache is not None:
@@ -1412,10 +1467,13 @@ class CrawlEngine:
             metrics = {
                 "round": rnd, "scheduled": n_sched,
                 "robots_checked": n_robots, "fetched_done": n_done,
+                **_t,
             }
-            self.metrics.append(metrics)
+            _t1 = _time.time()
             if self.store:
                 self._commit(metrics)
             else:
                 self._checkpoint_local()
+            metrics["snapshot_s"] = round(_time.time() - _t1, 2)
+            self.metrics.append(metrics)
         return self.trace

@@ -227,3 +227,33 @@ def test_endpoint_mode_with_blank_nodes_match(spark):
     oracle, engine = run_both(spark, fx, cfg)
     assert_match(oracle, engine)
     assert engine.triples.filter("object_kind = 'blank'").count() > 0
+
+
+@pytest.mark.slow
+def test_cross_source_triple_collision_match(spark):
+    """The same (s,p,o) extracted from MULTIPLE pages must merge its
+    source set ($addToSet sources, Triple.ts:79-120) — exercises the
+    engine's collision-merge path in _merge_triples (fresh keys append;
+    colliding keys take the broadcast MERGE join)."""
+    fx = generate_fixture(n_pages=80, n_origins=5, n_seeds=4, seed=13)
+    # inject one identical triple into several pages' payloads: the
+    # common subject is a third URL, so the triple collides across
+    # sources when the later pages are fetched
+    extra = (b"\n<https://o1.example.org/page/1> "
+             b"<http://example.org/pred/p0> "
+             b"<https://o2.example.org/page/2> .")
+    patched = 0
+    seed_set = set(fx.seeds)
+    for i, u in enumerate(fx.urls):
+        if u in seed_set:
+            fx.html[i] = fx.html[i].replace(
+                b"</ntriples>", extra + b"</ntriples>", 1)
+            patched += 1
+    assert patched >= 3
+    cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                      resources_per_domain=4, max_rounds=20)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
+    # the injected triple must exist with >1 source in the oracle
+    multi = [v for v in oracle.triples.values() if len(v["sources"]) > 1]
+    assert multi, "fixture produced no cross-source collision"
+    assert_match(oracle, engine)
