@@ -165,6 +165,7 @@ class CrawlEngine:
         self.ends: DataFrame | None = None
         self._triple_keys: set[tuple] = set()
         self._triples_dirty = False
+        self._wave_size_hint = 0
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -1218,6 +1219,10 @@ class CrawlEngine:
         all_children: list[DataFrame] = []
         extended_seqs: set[int] = set()
         guard = 0
+        # wave-size hint for the seq-rank strategy: heads × a generous
+        # per-head branching allowance (over-estimating only switches to
+        # the parallel rank earlier; output is identical either way)
+        self._wave_size_hint = len(fetched_done) * 128
         while guard < 100:
             guard += 1
             children = self._extend_wave(rnd, parents, ends, bf)
@@ -1262,6 +1267,7 @@ class CrawlEngine:
             next_heads = sorted(set(blank_heads) | set(done_heads))
             if not next_heads:
                 break
+            self._wave_size_hint = len(next_heads) * 128
             parents = _semi_filter(
                 self.spark, children, "head_url", next_heads)
         if total_children:
@@ -1295,6 +1301,49 @@ class CrawlEngine:
             self.paths = mark_deleted(self.paths).unionByName(
                 mark_deleted(new_paths))
         return total_children
+
+    #: wave-size ceiling for the single-window seq path; above it the
+    #: two-phase range rank runs instead (overridable per engine, e.g.
+    #: set to 0 in tests to force the scale path)
+    seq_rank_threshold: int = 50_000
+
+    def _assign_wave_seq(self, cand: DataFrame,
+                         key_cols: list[str]) -> DataFrame:
+        """Dense deterministic seq = seq_counter + rank under the wave
+        order. A bare ``Window.orderBy`` funnels every wave child
+        through ONE task — fine for bounded waves, a non-starter when a
+        10^10-scale round produces tens of millions of children. Above
+        ``seq_rank_threshold`` (estimated from the wave's parent count)
+        the rank is computed in two phases instead: range-repartition
+        by the sort key, count per partition (one lightweight job),
+        then per-partition ``row_number`` + broadcast prefix offsets —
+        identical output, fully parallel."""
+        if self._wave_size_hint <= self.seq_rank_threshold:
+            sw = Window.orderBy(*key_cols)
+            return cand.withColumn(
+                "seq",
+                (F.row_number().over(sw) - F.lit(1)
+                 + F.lit(self.seq_counter)).cast("long"))
+        n_parts = max(2, self.spark.sparkContext.defaultParallelism)
+        rp = (cand.repartitionByRange(n_parts, *key_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+        rp = rp.cache()
+        self._wave_caches.append(rp)
+        counts = {r["_pid"]: r["count"]
+                  for r in rp.groupBy("_pid").count().collect()}
+        offs, acc = [], 0
+        for pid in sorted(counts):
+            offs.append((pid, acc))
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(offs, "_pid int, _off long")
+        pw = Window.partitionBy("_pid").orderBy(*key_cols)
+        return (
+            rp.join(F.broadcast(off_df), "_pid")
+            .withColumn(
+                "seq",
+                (F.row_number().over(pw) - F.lit(1) + F.col("_off")
+                 + F.lit(self.seq_counter)).cast("long"))
+            .drop("_pid", "_off"))
 
     def _extend_wave(self, rnd: int, parents: DataFrame, ends: DataFrame,
                      bf: DataFrame | None) -> DataFrame:
@@ -1347,13 +1396,9 @@ class CrawlEngine:
         cand = cand.filter(uri_ok | blank_ok | lit_ok)
         # deterministic seq: the oracle's wave order =
         # (parent priority, predicate, node_key)
-        sw = Window.orderBy(
-            "p_length", "p_created", "parent_seq", "pred", "node_key")
-        cand = cand.withColumn(
-            "seq",
-            (F.row_number().over(sw) - F.lit(1) + F.lit(self.seq_counter))
-            .cast("long"),
-        )
+        cand = self._assign_wave_seq(
+            cand, ["p_length", "p_created", "parent_seq", "pred",
+                   "node_key"])
         return cand.select(
             "parent_seq",
             F.col("seed"),

@@ -257,3 +257,21 @@ def test_cross_source_triple_collision_match(spark):
     multi = [v for v in oracle.triples.values() if len(v["sources"]) > 1]
     assert multi, "fixture produced no cross-source collision"
     assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_parallel_seq_rank_matches(spark):
+    """The two-phase range-partitioned seq rank (the 10^10-scale path
+    for wave seq assignment) must produce exactly the same dense seq
+    ids — and therefore the same trace/frontier — as the single-window
+    path. Forced via seq_rank_threshold=0."""
+    from derzis_spark.engine import CrawlEngine
+    fx = generate_fixture(n_pages=100, n_origins=6, n_seeds=4, seed=21)
+    cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                      resources_per_domain=4, max_rounds=15)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=15)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.seq_rank_threshold = 0  # force the parallel rank every wave
+    engine.run(seeds, 15)
+    assert_match(oracle, engine)
