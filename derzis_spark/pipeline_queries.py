@@ -224,10 +224,11 @@ def q_ann_bruteforce_cosine(spark, sf_dir):
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("vec_id") != 0)
     )
+    # parallel top-k (TakeOrderedAndProject), then rank the 10 survivors
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "vec_id", "label", "cosine")
     )
 
@@ -386,10 +387,10 @@ def q_ann_ivf(spark, sf_dir):
             / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
                * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 4))
     )
+    top = cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "vec_id", "label", "cell", "cosine")
     )
 

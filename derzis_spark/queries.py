@@ -154,10 +154,14 @@ def q_frontier_priority(spark, sf_dir):
     """Crawl priority order (process-paths.ts:675-678): global rank by
     (length ASC, created_round ASC, seq ASC), top 100."""
     paths = paths_view(spark, sf_dir)
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (parallel per-partition top-k + merge); the single-partition
+    # ranking window then only ever sees k rows — a bare global window
+    # over the full frontier would funnel everything through one task
+    top = paths.orderBy("length", "created_round", "seq").limit(100)
     w = Window.orderBy("length", "created_round", "seq")
     return (
-        paths.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "head_url", "origin", "length", "created_round", "seq")
     )
 
@@ -224,9 +228,9 @@ def q_additional_resources_topup(spark, sf_dir):
     """Per-domain top-up (Domain.ts:547-565): up to 3 more heads per
     origin that are NOT among the globally-top-50 scheduled ones."""
     paths = paths_view(spark, sf_dir)
-    gw = Window.orderBy("length", "created_round", "seq")
-    sched = (paths.withColumn("g", F.row_number().over(gw))
-             .filter(F.col("g") <= 50).select("head_url"))
+    # parallel global top-k (TakeOrderedAndProject), not a full window
+    sched = (paths.orderBy("length", "created_round", "seq").limit(50)
+             .select("head_url"))
     rest = paths.join(sched, "head_url", "left_anti")
     w = Window.partitionBy("origin").orderBy("length", "created_round", "seq")
     return (
