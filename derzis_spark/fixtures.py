@@ -123,6 +123,7 @@ def generate_fixture(
     text_words: tuple = (8, 40),
     min_links: int = 1,
     alt_rate: float = 0.0,
+    blank_subject_rate: float = 0.0,
 ) -> CrawlFixture:
     """``alt_rate`` > 0 converts that fraction of pages into HTML-only
     pages whose RDF payload lives behind an alternate-link chain
@@ -190,7 +191,19 @@ def generate_fixture(
             triples.append(Triple(url, preds[1], "literal", ""))
         # blank-node triples (dropped unless allow_blank_nodes)
         if rng.random() < blank_rate:
-            triples.append(Triple(url, preds[2], "blank", f"_:b{j}"))
+            bid = f"_:b{j}"
+            triples.append(Triple(url, preds[2], "blank", bid))
+            # blank-SUBJECT triples give the blank node outgoing edges,
+            # exercising real 2-hop chaining (blank-node-utils.ts:21-38,
+            # EndpointPath.ts:270-337). Gated so the default fixture
+            # stays byte-identical (the rng stream is untouched at 0.0).
+            if blank_subject_rate and rng.random() < blank_subject_rate:
+                triples.append(Triple(
+                    bid, preds[4], "uri", urls[rng.randrange(n_pages)]))
+                if rng.random() < 0.5:
+                    triples.append(Triple(
+                        bid, RDFS_LABEL, "literal", f"blabel {j}",
+                        None, "en"))
         # self-loop occasionally (must be rejected by cycle filter)
         if rng.random() < 0.05:
             triples.append(Triple(url, preds[3], "uri", url))

@@ -78,6 +78,8 @@ def assert_match(oracle, engine):
         for d in oracle.domains.values()
     }
     assert eng_dom == ora_dom
+    # 6. processTriples ledger (triples that extended a path)
+    assert engine.proc_triples == oracle.proc_triples
 
 
 @pytest.mark.slow
@@ -274,4 +276,36 @@ def test_parallel_seq_rank_matches(spark):
     engine = CrawlEngine(spark, pages, robots, cfg)
     engine.seq_rank_threshold = 0  # force the parallel rank every wave
     engine.run(seeds, 15)
+    assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_blank_chaining_with_outgoing_edges_traversal(spark):
+    """Blank nodes WITH outgoing triples (blank_subject_rate) force
+    real 2-hop chaining (blank-node-utils.ts:21-38) — earlier fixtures
+    had object-only blanks, so the chain branch never fired."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42,
+                          blank_rate=0.4, blank_subject_rate=0.9)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=3,
+                      resources_per_domain=3, allow_blank_nodes=True,
+                      max_rounds=20)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
+    # chaining must actually occur
+    assert any(k[0].startswith("_:") for k in oracle.proc_triples)
+    assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_blank_chaining_with_outgoing_edges_endpoint(spark):
+    """Endpoint-mode blank 2-hop chaining at unincremented distance
+    (EndpointPath.ts:270-337) with real outgoing edges — regression
+    test for the dead blank branch (blanks were filtered out of the
+    candidate set before the chain could read them)."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42,
+                          blank_rate=0.4, blank_subject_rate=0.9)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=3,
+                      resources_per_domain=3, allow_blank_nodes=True,
+                      path_type="endpoint", max_rounds=20)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
+    assert any(k[0].startswith("_:") for k in oracle.proc_triples)
     assert_match(oracle, engine)
