@@ -352,6 +352,88 @@ class CrawlEngine:
             c.unpersist()
         self._wave_caches = []
 
+    def start_step(self, seeds: DataFrame | None = None,
+                   config: CrawlConfig | None = None,
+                   reset_errors: bool = False,
+                   convert_to_endpoint: bool = False) -> None:
+        """Begin a new process step (Process.startNext,
+        models/src/Process/Process.ts:412-493): optional error reset,
+        re-extension of done-headed active paths under the NEW limits,
+        optional traversal→endpoint conversion, then seed insertion
+        (Resource.insertSeeds: traversal seeds always create a fresh
+        length-1 path; endpoint seeds only when no endpoint path exists
+        for that head). Changing path_type requires
+        ``convert_to_endpoint=True`` (reference: curPathType only flips
+        through the conversion flow)."""
+        assert self.paths is not None, "bootstrap or resume first"
+        if config is not None:
+            self.cfg = config
+        if reset_errors:
+            self.reset_errored_states()
+        if convert_to_endpoint:
+            self.convert_to_endpoint()
+        else:
+            active_heads = {
+                r["head_url"] for r in self.paths.filter(
+                    (F.col("status") == "active")
+                    & (F.col("head_kind") == "url"))
+                .select("head_url").distinct().collect()}
+            done_heads = sorted(active_heads & self._done_urls)
+            if done_heads:
+                if self.cfg.path_type == "endpoint":
+                    self._extend_endpoint(self.round, done_heads)
+                else:
+                    self._extend(self.round, done_heads)
+        if seeds is not None:
+            self._insert_seed_paths(seeds)
+        if self.store:
+            self._commit({"phase": "start_step"})
+        else:
+            self._checkpoint_local()
+
+    def _insert_seed_paths(self, seeds: DataFrame) -> None:
+        """Additive seed insertion into a live crawl (Resource.ts
+        insertSeeds/insertSeedPaths; contrast bootstrap, which creates
+        the tables from scratch)."""
+        w = Window.orderBy("file_order")
+        seed_rows = (
+            seeds.coalesce(1)
+            .withColumn("file_order", F.monotonically_increasing_id())
+            .withColumn("url", udfs.canonicalize_url(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .groupBy("url").agg(F.min("file_order").alias("file_order"))
+            .withColumn("rk", F.row_number().over(w))
+            .drop("file_order")
+        ).collect()
+        seed_urls = [r["url"] for r in sorted(seed_rows,
+                                              key=lambda r: r["rk"])]
+        missing = [u for u in seed_urls if u not in self._seen_urls]
+        if missing:
+            self._insert_new_urls(self.spark.createDataFrame(
+                [(u,) for u in missing], "url string"))
+        if self.cfg.path_type == "endpoint":
+            ep_heads = {
+                r["head_url"] for r in self.paths.filter(
+                    F.col("head_kind") == "url")
+                .select("head_url").distinct().collect()}
+            rows = []
+            for u in seed_urls:
+                if u in ep_heads:
+                    continue
+                ep_heads.add(u)
+                rows.append(("", u, "url", u, [], [], 1, "active",
+                             self.round, self.seq_counter, {u: 1}))
+                self.seq_counter += 1
+        else:
+            rows = []
+            for u in seed_urls:
+                rows.append((u, u, "url", u, [u], [], 1, "active",
+                             self.round, self.seq_counter, None))
+                self.seq_counter += 1
+        if rows:
+            self.paths = self.paths.unionByName(
+                self.spark.createDataFrame(rows, schemas.PATHS))
+
     def reset_errored_states(self) -> None:
         """Error resets (resetErrors step flag, Process.ts:562-664):
         errored resources revert to unvisited (re-schedulable), errored

@@ -703,6 +703,62 @@ class Oracle:
                 d.crawl_delay = self.cfg.default_crawl_delay
                 d.next_allowed = 0
 
+    def start_step(self, seeds=(), config: CrawlConfig | None = None,
+                   reset_errors: bool = False,
+                   convert_to_endpoint: bool = False) -> None:
+        """Begin a new process step (Process.startNext,
+        models/src/Process/Process.ts:412-493): optionally reset
+        errored states, re-extend active paths whose heads are already
+        done under the NEW step limits (extendPaths headStatus='done' —
+        this is what lets a raised max_path_length grow previously
+        bounded paths), optionally convert to endpoint mode, then
+        insert the step's seeds (Resource.insertSeeds: traversal seeds
+        always create a fresh length-1 path; endpoint seeds only when
+        no endpoint path exists for that head, the $setOnInsert upsert
+        Resource.ts:345-420)."""
+        if config is not None:
+            self.cfg = config
+        if reset_errors:
+            self.reset_errored_states()
+        if convert_to_endpoint:
+            self.convert_to_endpoint()
+        else:
+            done_heads = sorted({
+                p.head_url for p in self.paths
+                if p.status == "active" and p.head_kind == "url"
+                and self.resources.get(p.head_url, {}).get("status")
+                == "done"})
+            if done_heads:
+                if self.cfg.path_type == "endpoint":
+                    self._extend_round_endpoint(done_heads, self._rnd)
+                else:
+                    self._extend_round(done_heads, self._rnd)
+        ep_heads = {p.head_url for p in self.paths
+                    if p.ptype == "endpoint" and p.head_kind == "url"}
+        seen: set[str] = set()
+        for raw in seeds:
+            url = canonicalize_url(raw)
+            if url is None or url in seen:
+                continue
+            seen.add(url)
+            self._add_resource(url)
+            if self.cfg.path_type == "endpoint":
+                if url in ep_heads:
+                    continue
+                self.paths.append(Path(
+                    seed="", head_url=url, head_kind="url", head_key=url,
+                    nodes=(), predicates=(), status="active",
+                    created_round=self._rnd, seq=self._next_seq(),
+                    ptype="endpoint", spl=1, seed_paths=((url, 1),),
+                ))
+                ep_heads.add(url)
+            else:
+                self.paths.append(Path(
+                    seed=url, head_url=url, head_kind="url", head_key=url,
+                    nodes=(url,), predicates=(), status="active",
+                    created_round=self._rnd, seq=self._next_seq(),
+                ))
+
     def _resolve_redirects(self, html) -> tuple[str, bytes | None]:
         """Follow RDF alternate links until accepted content is found
         (handleHttpResponse recursion, Worker.ts:744-766): no alternate

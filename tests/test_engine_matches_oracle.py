@@ -309,3 +309,72 @@ def test_blank_chaining_with_outgoing_edges_endpoint(spark):
     oracle, engine = run_both(spark, fx, cfg, max_rounds=20)
     assert any(k[0].startswith("_:") for k in oracle.proc_triples)
     assert_match(oracle, engine)
+
+
+@pytest.mark.slow
+def test_multi_step_raised_limits_and_new_seeds_match(spark):
+    """Process.startNext (Process.ts:412-493): a second step with
+    raised path limits re-extends done-headed active paths under the
+    new bounds and inserts additional seeds; engine and oracle must
+    agree on the whole two-step trace and final state."""
+    from derzis_spark.oracle import build_oracle_for_fixture
+
+    fx = generate_fixture(n_pages=140, n_origins=7, n_seeds=3, seed=31)
+    cfg1 = CrawlConfig(max_path_length=2, max_path_props=1,
+                       resources_per_domain=2, max_rounds=8)
+    cfg2 = CrawlConfig(max_path_length=4, max_path_props=3,
+                       resources_per_domain=3, max_rounds=10)
+    # step-2 seeds: two fresh pages + one seed repeated from step 1
+    new_seeds = [fx.urls[77], fx.urls[111], fx.seeds[0]]
+
+    ora = build_oracle_for_fixture(fx, cfg1)
+    ora.run(max_rounds=8)
+    ora.start_step(seeds=new_seeds, config=cfg2)
+    res_o = ora.run(max_rounds=18)
+
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg1)
+    engine.run(seeds, max_rounds=8)
+    seeds2 = spark.createDataFrame([(u,) for u in new_seeds],
+                                   "url string")
+    engine.start_step(seeds=seeds2, config=cfg2)
+    engine.run(max_rounds=18)
+
+    assert res_o.rounds == engine.round
+    assert_match(res_o, engine)
+    # the repeated traversal seed must have created a duplicate
+    # length-1 path (Resource.insertSeeds creates unconditionally)
+    dup = sum(1 for r in engine.paths.collect()
+              if r["seed"] == new_seeds[2] and r["length"] == 1)
+    assert dup >= 2
+
+
+@pytest.mark.slow
+def test_multi_step_endpoint_seed_dedup_match(spark):
+    """Endpoint-mode step seeds take the $setOnInsert path
+    (Resource.ts:345-420): a seed whose head already has an endpoint
+    path must NOT create a second one."""
+    from derzis_spark.oracle import build_oracle_for_fixture
+
+    fx = generate_fixture(n_pages=100, n_origins=5, n_seeds=3, seed=19)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=8,
+                      path_type="endpoint")
+    new_seeds = [fx.urls[50], fx.seeds[0]]
+
+    ora = build_oracle_for_fixture(fx, cfg)
+    ora.run(max_rounds=8)
+    ora.start_step(seeds=new_seeds)
+    res_o = ora.run(max_rounds=16)
+
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=8)
+    engine.start_step(seeds=spark.createDataFrame(
+        [(u,) for u in new_seeds], "url string"))
+    engine.run(max_rounds=16)
+
+    assert_match(res_o, engine)
+    heads = [r["head_url"] for r in engine.paths.filter(
+        "head_kind = 'url'").collect()]
+    assert len(heads) == len(set(heads))
