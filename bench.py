@@ -41,10 +41,13 @@ HEADLINE = [
     "path_extension_join",
     "domains_rollup",
     "branching_factor",
+    "alternate_redirects",
     "dedup_exact",
     "minhash_lsh_buckets",
     "simhash",
     "ann_bruteforce_cosine",
+    "ann_ivf",
+    "embedding_near_dup",
     "quality_score",
     "doc_fingerprint",
 ]
