@@ -245,8 +245,6 @@ class Oracle:
     # models/src/Path/TraversalPath.ts:451-537) — label preds exempt
     # ------------------------------------------------------------------
     def _pred_allowed(self, parent: Path, predicate: str) -> bool:
-        if predicate in LABEL_PREDICATES:
-            return True
         lims = self.cfg.pred_limitations
         if not lims:
             return True
@@ -254,12 +252,20 @@ class Oracle:
         dis_future = [l.predicate for l in lims if "disallow-future" in l.lims]
         req_past = [l.predicate for l in lims if "require-past" in l.lims]
         dis_past = [l.predicate for l in lims if "disallow-past" in l.lims]
-        if any(matches_predicate_pattern(pat, predicate) for pat in dis_future):
-            return False
-        if req_future and not any(
-            matches_predicate_pattern(pat, predicate) for pat in req_future
-        ):
-            return False
+        # label preds are exempt from FUTURE constraints only
+        # (genPredicatesFilter removes them from the blacklist / adds
+        # them to the whitelist, TraversalPath.ts:617-632); PAST
+        # constraints are path-level (genTraversalPathQuery,
+        # process-paths.ts:843-866) and admit no label exemption
+        if predicate not in LABEL_PREDICATES:
+            if any(matches_predicate_pattern(pat, predicate)
+                   for pat in dis_future):
+                return False
+            if req_future and not any(
+                matches_predicate_pattern(pat, predicate)
+                for pat in req_future
+            ):
+                return False
         past = [q for q in parent.predicates if q not in LABEL_PREDICATES]
         if dis_past and any(
             matches_predicate_pattern(pat, q) for pat in dis_past for q in past
