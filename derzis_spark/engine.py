@@ -87,13 +87,17 @@ def _object_key_col():
 
 _ENDS_SCHEMA = ("end string, dir_rank int, pred string, "
                 "node_kind string, node_raw string, node_key string, "
-                "node_c string")
+                "node_c string, t_dt string, t_lang string")
 
 
 def _edge_rows_for_key(key: tuple) -> list[tuple]:
     """Edges of one triple key — the driver-side mirror of
     `_triple_ends` (bit-identical: same core canonicalizer the Arrow
-    UDFs wrap)."""
+    UDFs wrap). t_dt/t_lang carry the literal identity so the full
+    triple key is reconstructible from any edge row (the processTriples
+    ledger needs it, ProcessTriple.ts:38-51): dir 0 ⇒
+    (end, pred, node_kind, node_raw, t_dt, t_lang); dir 1 ⇒
+    (node_raw, pred, 'uri', end, null, null)."""
     from derzis_spark.functions.core import canonicalize_url as _canon
 
     subject, predicate, okind, ovalue, odt, olang = key
@@ -104,11 +108,22 @@ def _edge_rows_for_key(key: tuple) -> list[tuple]:
     out = []
     if not (okind == "uri" and ovalue == subject):
         node_c = _canon(ovalue) if okind == "uri" else ovalue
-        out.append((subject, 0, predicate, okind, ovalue, node_key, node_c))
+        out.append((subject, 0, predicate, okind, ovalue, node_key, node_c,
+                    odt, olang))
     if okind == "uri" and subject != ovalue:
         out.append((ovalue, 1, predicate, "uri", subject, subject,
-                    _canon(subject)))
+                    _canon(subject), None, None))
     return out
+
+
+def _edge_tkey(dir_rank: int, end: str, pred: str, node_kind: str,
+               node_raw: str, t_dt, t_lang) -> tuple:
+    """Reconstruct the full triple key from an edge row (inverse of
+    `_edge_rows_for_key`); dt/lang normalize to "" like the oracle's
+    triple_key."""
+    if dir_rank == 0:
+        return (end, pred, node_kind, node_raw, t_dt or "", t_lang or "")
+    return (node_raw, pred, "uri", end, "", "")
 
 
 def _semi_filter(spark, df, col: str, values: list, threshold: int = 64):
@@ -166,6 +181,9 @@ class CrawlEngine:
         self._triple_keys: set[tuple] = set()
         self._triples_dirty = False
         self._wave_size_hint = 0
+        # processTriples ledger (ProcessTriple.ts:38-51): triple keys
+        # that extended a path (label-literal rule per Manager.ts:418-448)
+        self.proc_triples: set[tuple] = set()
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -266,6 +284,9 @@ class CrawlEngine:
             r["origin"]: (r["robots_txt"] or "") for r in dom_rows
             if r["status"] != "unvisited"
         }
+        if "proc_triples" in tables:
+            self.proc_triples = {
+                tuple(r) for r in tables["proc_triples"].collect()}
         # rebuild the edge view + key set once from the triple store
         # (a full scan at resume, then incremental again)
         self.ends = self._triple_ends().localCheckpoint(eager=True)
@@ -284,6 +305,11 @@ class CrawlEngine:
                 "paths": self.paths,
                 "triples": self.triples,
                 "trace": self.trace,
+                "proc_triples": self.spark.createDataFrame(
+                    sorted(self.proc_triples,
+                           key=lambda k: tuple("" if x is None else x
+                                               for x in k)),
+                    schemas.RAW_TRIPLE),
             },
             metrics, self.seq_counter,
         )
@@ -325,6 +351,88 @@ class CrawlEngine:
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
+
+    def start_step(self, seeds: DataFrame | None = None,
+                   config: CrawlConfig | None = None,
+                   reset_errors: bool = False,
+                   convert_to_endpoint: bool = False) -> None:
+        """Begin a new process step (Process.startNext,
+        models/src/Process/Process.ts:412-493): optional error reset,
+        re-extension of done-headed active paths under the NEW limits,
+        optional traversal→endpoint conversion, then seed insertion
+        (Resource.insertSeeds: traversal seeds always create a fresh
+        length-1 path; endpoint seeds only when no endpoint path exists
+        for that head). Changing path_type requires
+        ``convert_to_endpoint=True`` (reference: curPathType only flips
+        through the conversion flow)."""
+        assert self.paths is not None, "bootstrap or resume first"
+        if config is not None:
+            self.cfg = config
+        if reset_errors:
+            self.reset_errored_states()
+        if convert_to_endpoint:
+            self.convert_to_endpoint()
+        else:
+            active_heads = {
+                r["head_url"] for r in self.paths.filter(
+                    (F.col("status") == "active")
+                    & (F.col("head_kind") == "url"))
+                .select("head_url").distinct().collect()}
+            done_heads = sorted(active_heads & self._done_urls)
+            if done_heads:
+                if self.cfg.path_type == "endpoint":
+                    self._extend_endpoint(self.round, done_heads)
+                else:
+                    self._extend(self.round, done_heads)
+        if seeds is not None:
+            self._insert_seed_paths(seeds)
+        if self.store:
+            self._commit({"phase": "start_step"})
+        else:
+            self._checkpoint_local()
+
+    def _insert_seed_paths(self, seeds: DataFrame) -> None:
+        """Additive seed insertion into a live crawl (Resource.ts
+        insertSeeds/insertSeedPaths; contrast bootstrap, which creates
+        the tables from scratch)."""
+        w = Window.orderBy("file_order")
+        seed_rows = (
+            seeds.coalesce(1)
+            .withColumn("file_order", F.monotonically_increasing_id())
+            .withColumn("url", udfs.canonicalize_url(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .groupBy("url").agg(F.min("file_order").alias("file_order"))
+            .withColumn("rk", F.row_number().over(w))
+            .drop("file_order")
+        ).collect()
+        seed_urls = [r["url"] for r in sorted(seed_rows,
+                                              key=lambda r: r["rk"])]
+        missing = [u for u in seed_urls if u not in self._seen_urls]
+        if missing:
+            self._insert_new_urls(self.spark.createDataFrame(
+                [(u,) for u in missing], "url string"))
+        if self.cfg.path_type == "endpoint":
+            ep_heads = {
+                r["head_url"] for r in self.paths.filter(
+                    F.col("head_kind") == "url")
+                .select("head_url").distinct().collect()}
+            rows = []
+            for u in seed_urls:
+                if u in ep_heads:
+                    continue
+                ep_heads.add(u)
+                rows.append(("", u, "url", u, [], [], 1, "active",
+                             self.round, self.seq_counter, {u: 1}))
+                self.seq_counter += 1
+        else:
+            rows = []
+            for u in seed_urls:
+                rows.append((u, u, "url", u, [u], [], 1, "active",
+                             self.round, self.seq_counter, None))
+                self.seq_counter += 1
+        if rows:
+            self.paths = self.paths.unionByName(
+                self.spark.createDataFrame(rows, schemas.PATHS))
 
     def reset_errored_states(self) -> None:
         """Error resets (resetErrors step flag, Process.ts:562-664):
@@ -376,18 +484,68 @@ class CrawlEngine:
             F.col("origin"),
             F.col("status").alias("res_status"),
         )
+        base = self.paths.filter(
+            (F.col("status") == "active")
+            & (F.col("head_kind") == "url")
+            & (F.col("length") < self.cfg.max_path_length)
+            & (F.size("predicates") <= self.cfg.max_path_props)
+        )
+        base = self._step_path_filter(base)
         return (
-            self.paths
-            .filter(
-                (F.col("status") == "active")
-                & (F.col("head_kind") == "url")
-                & (F.col("length") < self.cfg.max_path_length)
-                & (F.size("predicates") <= self.cfg.max_path_props)
-            )
+            base
             .join(res, "head_url")
             .filter(F.col("res_status") == "unvisited")
             .select("head_url", "origin", "length", "created_round", "seq")
         )
+
+    def _step_path_filter(self, df: DataFrame) -> DataFrame:
+        """Scheduling-side predicate-limitation filters
+        (genTraversalPathQuery, process-paths.ts:791-866): past rules
+        bind regardless of fullness with no label exemption; future
+        rules bind only FULL paths. Pattern evaluation happens once
+        against the small distinct-predicate vocabulary (this engine
+        unifies the reference's exact-match query layer with its
+        pattern-matched per-triple layer on the pattern semantics —
+        same documented deviation as the oracle's _step_query_ok)."""
+        lims = self.cfg.pred_limitations
+        if not lims or self.cfg.path_type == "endpoint":
+            return df
+        vocab = [r["p"] for r in
+                 df.select(F.explode("predicates").alias("p"))
+                 .distinct().collect()]
+
+        def matched(kind: str) -> list[str]:
+            pats = [l.predicate for l in lims if kind in l.lims]
+            return sorted(
+                w for w in vocab
+                if any(matches_predicate_pattern(p, w) for p in pats))
+
+        has = {k: any(k in l.lims for l in lims)
+               for k in ("require-past", "disallow-past",
+                         "require-future", "disallow-future")}
+        cond = F.lit(True)
+        if has["require-future"] or has["disallow-future"]:
+            if has["require-future"]:
+                rf = matched("require-future")
+                full_ok = (F.exists("predicates", lambda q: q.isin(rf))
+                           if rf else F.lit(False))
+            else:
+                dfu = matched("disallow-future")
+                full_ok = (F.exists("predicates", lambda q: ~q.isin(dfu))
+                           if dfu else F.lit(True))
+            cond = cond & (
+                (F.size("predicates") < self.cfg.max_path_props) | full_ok)
+        if has["disallow-past"]:
+            dp = matched("disallow-past")
+            if dp:
+                cond = cond & ~F.exists("predicates",
+                                        lambda q: q.isin(dp))
+        if has["require-past"]:
+            rp = matched("require-past")
+            cond = cond & F.forall(
+                "predicates",
+                (lambda q: q.isin(rp)) if rp else (lambda q: F.lit(False)))
+        return df.filter(cond)
 
     def _phase_robots(self, rnd: int, eligible: DataFrame) -> int:
         """Robots checks for unvisited domains with eligible paths.
@@ -792,6 +950,8 @@ class CrawlEngine:
             F.col("object_kind").alias("node_kind"),
             F.col("object_value").alias("node_raw"),
             F.col("node_key0").alias("node_key"),
+            F.col("object_datatype").alias("t_dt"),
+            F.col("object_language").alias("t_lang"),
         ).filter(
             ~((F.col("node_kind") == "uri") & (F.col("node_raw") == F.col("end")))
         )
@@ -805,6 +965,8 @@ class CrawlEngine:
             F.lit("uri").alias("node_kind"),
             F.col("subject").alias("node_raw"),
             F.col("subject").alias("node_key"),
+            F.lit(None).cast("string").alias("t_dt"),
+            F.lit(None).cast("string").alias("t_lang"),
         )
         # canonicalize once here (cached for the round) so the per-wave
         # jobs stay whole-stage-codegen JVM plans with no Python UDF
@@ -840,21 +1002,23 @@ class CrawlEngine:
         req_past_pats = [l for l in lims if "require-past" in l.lims]
         req_past = matched("require-past", past_vocab)
 
+        # isExtensionAllowed (TraversalPath.ts:451-537): label candidates
+        # are exempt from ALL limitations (:467-477); others must pass
+        # the future rules AND the path's past rules
         is_label = F.col("pred").isin(list(labels))
         ok = ~F.col("pred").isin(list(dis_future)) if dis_future else F.lit(True)
         if req_future_pats:
             ok = ok & F.col("pred").isin(list(req_future | labels))
-        cand = cand.filter(is_label | ok)
         if dis_past:
             arr = F.array(*[F.lit(x) for x in sorted(dis_past)])
-            cand = cand.filter(
-                ~F.exists("predicates", lambda p: F.array_contains(arr, p)))
+            ok = ok & ~F.exists(
+                "predicates", lambda p: F.array_contains(arr, p))
         if req_past_pats:
             allowed_past = sorted(req_past | labels)
             arr = F.array(*[F.lit(x) for x in allowed_past])
-            cand = cand.filter(
-                F.forall("predicates", lambda p: F.array_contains(arr, p)))
-        return cand
+            ok = ok & F.forall(
+                "predicates", lambda p: F.array_contains(arr, p))
+        return cand.filter(is_label | ok)
 
     def convert_to_endpoint(self) -> None:
         """convertToEndpointPaths (process-paths.ts:1640-1716), the
@@ -973,9 +1137,11 @@ class CrawlEngine:
                 F.col("seed_paths").alias("p_seeds"),
                 F.col("seq").alias("parent_seq"),
             )).join(ends, F.col("p_head") == F.col("end"))
-            cand = cand.filter(
-                (F.col("pred") != F.col("p_head"))
-                & (F.col("node_kind") != "blank"))
+            cand = (cand.withColumn("t_dir", F.col("dir_rank"))
+                    .withColumn("t_end", F.col("end"))
+                    .withColumn("t_raw", F.col("node_raw"))
+                    .withColumn("t_kind", F.col("node_kind")))
+            cand = cand.filter(F.col("pred") != F.col("p_head"))
             if lims:
                 # isExtensionAllowed: FUTURE limitations only, label
                 # preds exempt (EndpointPath.ts:160-190); the
@@ -995,6 +1161,12 @@ class CrawlEngine:
                 if dis:
                     ok = ok & ~F.col("pred").isin(sorted(dis))
                 cand = cand.filter(ok)
+            # blank candidates split off AFTER the predicate-limit gate
+            # (oracle order: pred==head rule → pred_allowed → kind
+            # branch); the earlier formulation filtered blanks out of
+            # cand before taking them, leaving the 2-hop branch dead
+            blank_cand = cand.filter(F.col("node_kind") == "blank")
+            cand = cand.filter(F.col("node_kind") != "blank")
             lit = cand.filter(F.col("node_kind") == "literal") \
                 .withColumn("add", F.lit(1))
             uri = cand.filter(
@@ -1020,7 +1192,7 @@ class CrawlEngine:
                 # the blank id extend at UNINCREMENTED distance (add=0);
                 # parent head is neither end of the outgoing triple, so
                 # only neutral-zone/unknown predicates pass direction
-                blank = cand.filter(F.col("node_kind") == "blank").select(
+                blank = blank_cand.select(
                     "p_head", "p_length", "p_seeds", "parent_seq",
                     F.col("node_raw").alias("blank_id"))
                 out = F.broadcast(blank).join(
@@ -1030,7 +1202,10 @@ class CrawlEngine:
                         F.col("pred").alias("o_pred"),
                         F.col("node_kind").alias("o_kind"),
                         F.col("node_key").alias("o_key"),
-                        F.col("node_c").alias("o_c")),
+                        F.col("node_c").alias("o_c"),
+                        F.col("node_raw").alias("o_raw"),
+                        F.col("t_dt").alias("o_dt"),
+                        F.col("t_lang").alias("o_lang")),
                     (F.col("blank_id") == F.col("o_end"))
                     & (F.col("o_dir") == 0)
                     & (F.col("o_kind") != "blank"))
@@ -1058,7 +1233,13 @@ class CrawlEngine:
                        F.col("o_kind").alias("node_kind"),
                        F.col("o_key").alias("node_key"),
                        F.col("o_c").alias("node_c"),
-                       F.lit(0).alias("add")]
+                       F.lit(0).alias("add"),
+                       F.lit(0).alias("t_dir"),
+                       F.col("o_end").alias("t_end"),
+                       F.col("o_raw").alias("t_raw"),
+                       F.col("o_kind").alias("t_kind"),
+                       F.col("o_dt").alias("t_dt"),
+                       F.col("o_lang").alias("t_lang")]
                 out_lit = out.filter(F.col("o_kind") == "literal") \
                     .select(*sel)
                 out_uri = out.filter(
@@ -1078,7 +1259,9 @@ class CrawlEngine:
                            & (ratio < F.lit(self.cfg.bf_neutral_high)))
                     ).drop("bf_subj", "bf_obj")
                 keep = ["p_head", "p_length", "p_seeds", "parent_seq",
-                        "pred", "node_kind", "node_key", "node_c", "add"]
+                        "pred", "node_kind", "node_key", "node_c", "add",
+                        "t_dir", "t_end", "t_raw", "t_kind",
+                        "t_dt", "t_lang"]
                 uri = uri.select(keep).unionByName(out_uri.select(keep))
                 lit = lit.select(keep).unionByName(out_lit.select(keep))
             uri = uri.localCheckpoint(eager=True)
@@ -1101,13 +1284,27 @@ class CrawlEngine:
 
             url_info = grouped(uri, "node_c").localCheckpoint(eager=True)
             lit_info = grouped(lit, "node_key").localCheckpoint(eager=True)
-            ext_seqs = sorted({
-                int(r["parent_seq"]) for r in
-                uri.select("parent_seq").distinct().collect()
-            } | {
-                int(r["parent_seq"]) for r in
-                lit.select("parent_seq").distinct().collect()
-            })
+            tcols = ["parent_seq", "pred", "add", "t_dir", "t_end",
+                     "t_raw", "t_kind", "t_dt", "t_lang"]
+            uri_meta = uri.select(*tcols).distinct().collect()
+            lit_meta = lit.select(*tcols).distinct().collect()
+            ext_seqs = sorted(
+                {int(r["parent_seq"]) for r in uri_meta}
+                | {int(r["parent_seq"]) for r in lit_meta})
+            # processTriples ledger: every triple behind a surviving URI
+            # candidate (incl. blank-chain outgoings); literal
+            # candidates only for DIRECT rdfs:label/comment (add=1) —
+            # blank-chained label literals are not recorded (oracle
+            # _endpoint_blank_chain vs _extend_round_endpoint)
+            for r in uri_meta:
+                self.proc_triples.add(_edge_tkey(
+                    r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
+                    r["t_raw"], r["t_dt"], r["t_lang"]))
+            for r in lit_meta:
+                if r["add"] == 1 and r["pred"] in LABEL_PREDICATES:
+                    self.proc_triples.add(_edge_tkey(
+                        r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
+                        r["t_raw"], r["t_dt"], r["t_lang"]))
             url_rows = url_info.collect()
             lit_rows = sorted(lit_info.collect(), key=lambda r: r["gkey"])
             if not url_rows and not lit_rows:
@@ -1233,10 +1430,22 @@ class CrawlEngine:
             children.cache()
             self._wave_caches.append(children)
             child_rows = children.select(
-                "head_kind", "head_url", "parent_seq").collect()
+                "head_kind", "head_url", "parent_seq",
+                "t_pred", "t_dir", "t_end", "t_raw", "t_kind",
+                "t_dt", "t_lang").collect()
             n = len(child_rows)
             if n == 0:
                 break
+            # processTriples ledger (insertProcTriples,
+            # process-paths.ts:874-887): every triple that extended a
+            # path; literal children only for rdfs:label/comment
+            # (Manager.ts:418-448 / oracle _extend_parent)
+            for r in child_rows:
+                if (r["head_kind"] != "literal"
+                        or r["t_pred"] in LABEL_PREDICATES):
+                    self.proc_triples.add(_edge_tkey(
+                        r["t_dir"], r["t_end"], r["t_pred"],
+                        r["t_kind"], r["t_raw"], r["t_dt"], r["t_lang"]))
             total_children += n
             self.seq_counter += n
             all_children.append(children)
@@ -1419,6 +1628,15 @@ class CrawlEngine:
             F.lit(rnd).cast("int").alias("created_round"),
             "seq",
             F.lit(None).cast("map<string,int>").alias("seed_paths"),
+            # triple-identity pass-through for the processTriples ledger
+            # (ProcessTriple.ts:38-51) — consumed at the wave collect,
+            # excluded from the frontier-table union
+            F.col("pred").alias("t_pred"),
+            F.col("dir_rank").alias("t_dir"),
+            F.col("end").alias("t_end"),
+            F.col("node_raw").alias("t_raw"),
+            F.col("node_kind").alias("t_kind"),
+            "t_dt", "t_lang",
         )
 
     # ------------------------------------------------------------------

@@ -188,7 +188,52 @@ class Oracle:
             and self.resources.get(p.head_url, {}).get("status") == "unvisited"
             and p.effective_length < self.cfg.max_path_length
             and len(p.predicates) <= self.cfg.max_path_props
+            and self._step_query_ok(p)
         )
+
+    def _step_query_ok(self, p: Path) -> bool:
+        """Scheduling-side predicate-limitation filters
+        (genTraversalPathQuery, process-paths.ts:791-866): past rules
+        apply regardless of fullness and admit no label exemption; the
+        future rules only bind FULL paths (count == maxPathProps, since
+        extension can then only reuse an existing predicate). The
+        reference's Mongo query matches limitation strings exactly while
+        its per-triple check uses the pattern matcher
+        (process-utils.ts:1-34) — this engine unifies both layers on
+        the pattern semantics (documented deviation: regex/substring
+        limitations filter scheduling too, instead of silently not
+        matching in the query)."""
+        lims = self.cfg.pred_limitations
+        if not lims or p.ptype == "endpoint":
+            return True
+        req_past = [l.predicate for l in lims if "require-past" in l.lims]
+        dis_past = [l.predicate for l in lims if "disallow-past" in l.lims]
+        req_future = [l.predicate for l in lims if "require-future" in l.lims]
+        dis_future = [l.predicate for l in lims
+                      if "disallow-future" in l.lims]
+        elems = p.predicates
+        if (req_future or dis_future) and len(elems) >= self.cfg.max_path_props:
+            if req_future:
+                if not any(matches_predicate_pattern(pat, q)
+                           for pat in req_future for q in elems):
+                    return False
+            elif not any(
+                not any(matches_predicate_pattern(pat, q)
+                        for pat in dis_future)
+                for q in elems
+            ):
+                return False
+        if dis_past and any(
+            matches_predicate_pattern(pat, q)
+            for pat in dis_past for q in elems
+        ):
+            return False
+        if req_past and not all(
+            any(matches_predicate_pattern(pat, q) for pat in req_past)
+            for q in elems
+        ):
+            return False
+        return True
 
     def _robots_candidates(self) -> list[str]:
         """Unvisited domains with ≥1 eligible path, by best path priority."""
@@ -245,6 +290,17 @@ class Oracle:
     # models/src/Path/TraversalPath.ts:451-537) — label preds exempt
     # ------------------------------------------------------------------
     def _pred_allowed(self, parent: Path, predicate: str) -> bool:
+        """Per-extension check (isExtensionAllowed,
+        TraversalPath.ts:451-537): rdfs:label/comment candidates are
+        exempt from ALL limitations (:467-477); other candidates must
+        pass future constraints and the path's past constraints. The
+        SCHEDULING-side filters (genTraversalPathQuery) live in
+        `_step_query_ok` — a path failing them doesn't justify fetching
+        its head, but still receives post-fetch extensions through the
+        headUrl query, which carries no predicate filters
+        (queryTraversalPathsForHeadUrl, process-paths.ts:1305-1316)."""
+        if predicate in LABEL_PREDICATES:
+            return True
         lims = self.cfg.pred_limitations
         if not lims:
             return True
@@ -252,20 +308,12 @@ class Oracle:
         dis_future = [l.predicate for l in lims if "disallow-future" in l.lims]
         req_past = [l.predicate for l in lims if "require-past" in l.lims]
         dis_past = [l.predicate for l in lims if "disallow-past" in l.lims]
-        # label preds are exempt from FUTURE constraints only
-        # (genPredicatesFilter removes them from the blacklist / adds
-        # them to the whitelist, TraversalPath.ts:617-632); PAST
-        # constraints are path-level (genTraversalPathQuery,
-        # process-paths.ts:843-866) and admit no label exemption
-        if predicate not in LABEL_PREDICATES:
-            if any(matches_predicate_pattern(pat, predicate)
-                   for pat in dis_future):
-                return False
-            if req_future and not any(
-                matches_predicate_pattern(pat, predicate)
-                for pat in req_future
-            ):
-                return False
+        if any(matches_predicate_pattern(pat, predicate) for pat in dis_future):
+            return False
+        if req_future and not any(
+            matches_predicate_pattern(pat, predicate) for pat in req_future
+        ):
+            return False
         past = [q for q in parent.predicates if q not in LABEL_PREDICATES]
         if dis_past and any(
             matches_predicate_pattern(pat, q) for pat in dis_past for q in past
