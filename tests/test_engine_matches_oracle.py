@@ -378,3 +378,20 @@ def test_multi_step_endpoint_seed_dedup_match(spark):
     heads = [r["head_url"] for r in engine.paths.filter(
         "head_kind = 'url'").collect()]
     assert len(heads) == len(set(heads))
+
+
+@pytest.mark.slow
+def test_large_fixture_exact_match(spark):
+    """Scale-shape regression: ~1000 pages / 25 rounds / ~50k frontier
+    paths with redirects + blank chaining on — exercises AQE replans,
+    multi-partition windows, and the parallel wave machinery that tiny
+    fixtures never reach, while still matching the oracle bit-for-bit."""
+    fx = generate_fixture(n_pages=1000, n_origins=24, n_seeds=30, seed=77,
+                          out_links=6, alt_rate=0.1, blank_rate=0.2,
+                          blank_subject_rate=0.5)
+    cfg = CrawlConfig(max_path_length=6, max_path_props=5,
+                      resources_per_domain=12, allow_blank_nodes=True,
+                      max_rounds=25)
+    oracle, engine = run_both(spark, fx, cfg, max_rounds=25)
+    assert len(oracle.trace) > 500
+    assert_match(oracle, engine)
