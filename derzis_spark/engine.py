@@ -1569,11 +1569,17 @@ class CrawlEngine:
         cand = cand.filter(F.col("pred") != F.col("p_head"))
         # dedup one child per (parent, predicate, node_key), prefer
         # head-as-subject (dir_rank 0) — BEFORE the direction filter to
-        # match the oracle's keep-first-then-filter order
-        dd = Window.partitionBy("parent_seq", "pred", "node_key") \
-            .orderBy("dir_rank")
-        cand = cand.withColumn("dd_rk", F.row_number().over(dd)) \
-            .filter(F.col("dd_rk") == 1).drop("dd_rk")
+        # match the oracle's keep-first-then-filter order. min_by is a
+        # hash aggregation with map-side partials (a sort window would
+        # re-sort every wave); deterministic because dir_rank is unique
+        # within a group (same (pred,node_key,dir) ⇒ same triple)
+        keys = ["parent_seq", "pred", "node_key"]
+        rest = [c for c in cand.columns if c not in keys]
+        cand = (
+            cand.groupBy(*keys)
+            .agg(F.min_by(F.struct(*rest), F.col("dir_rank")).alias("_r"))
+            .select(*keys, "_r.*")
+        )
         cand = self._pred_limit_filter(cand)
         if bf is not None:
             ratio = F.col("bf_subj") / F.col("bf_obj")
