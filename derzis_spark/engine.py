@@ -312,6 +312,14 @@ class CrawlEngine:
                     schemas.RAW_TRIPLE),
             },
             metrics, self.seq_counter,
+            # Iceberg bucket(n, key)-style hash partitioning for the
+            # big tables (north rule: salted domain/url-hash-partitioned
+            # frontier state); per-bucket row counts go to the manifest
+            bucket_by={
+                "resources": ("url", 16),
+                "paths": ("head_key", 16),
+                "triples": ("subject", 16),
+            },
         )
         tables = self.store.load_tables(self.spark, self.round)
         self.resources = tables["resources"]

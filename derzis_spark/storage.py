@@ -25,6 +25,9 @@ import time
 
 STATE_TABLES = ("resources", "domains", "paths", "triples", "trace")
 
+#: synthetic hash-bucket partition column (dropped on load)
+BUCKET_COL = "_bucket"
+
 
 class SnapshotStore:
     def __init__(self, root: str):
@@ -35,29 +38,72 @@ class SnapshotStore:
         return os.path.join(self.root, f"r{rnd:04d}")
 
     def commit(self, spark, rnd: int, tables: dict, metrics: dict,
-               seq_counter: int, partition_by: dict | None = None) -> dict:
+               seq_counter: int, partition_by: dict | None = None,
+               bucket_by: dict | None = None) -> dict:
         """Write ``tables`` (name → DataFrame) + manifest for round ``rnd``.
+
+        ``bucket_by`` maps table name → (key_column, n_buckets): the
+        table is written hash-partitioned on ``pmod(xxhash64(key), n)``
+        (the Iceberg ``bucket(n, key)`` partition transform — the north
+        rule's domain/url-hash partitioning; a hash of the natural key
+        is inherently skew-free, which is the salting story for
+        mega-domains). Per-bucket row counts land in the manifest as
+        per-partition lineage.
 
         The manifest is written last — a crash mid-write leaves a
         dangling round directory that ``latest_round`` ignores, so
         commits are effectively atomic (Iceberg's manifest-pointer
         trick)."""
+        from pyspark.sql import functions as F
+
         rdir = self._round_dir(rnd)
         counts: dict[str, int] = {}
+        partitions: dict[str, dict] = {}
         partition_by = partition_by or {}
+        bucket_by = bucket_by or {}
         for name, df in tables.items():
             path = os.path.join(rdir, name)
-            writer = df.write.mode("overwrite")
-            cols = partition_by.get(name)
+            writer_df = df
+            cols = list(partition_by.get(name) or [])
+            spec = bucket_by.get(name)
+            if spec:
+                key_col, n_buckets = spec
+                writer_df = df.withColumn(
+                    BUCKET_COL,
+                    F.pmod(F.xxhash64(F.col(key_col)),
+                           F.lit(n_buckets)).cast("int"))
+                cols = [BUCKET_COL] + cols
+            writer = writer_df.write.mode("overwrite")
             if cols:
                 writer = writer.partitionBy(*cols)
             writer.parquet(path)
-            counts[name] = spark.read.parquet(path).count()
+            try:
+                back = spark.read.parquet(path)
+            except Exception:
+                # an empty partitioned write leaves no data files to
+                # infer a schema from — rewrite flat (still empty)
+                df.write.mode("overwrite").parquet(path)
+                back = spark.read.parquet(path)
+                spec = None
+            if spec:
+                pc = {int(r[BUCKET_COL]): r["count"]
+                      for r in back.groupBy(BUCKET_COL).count().collect()}
+                partitions[name] = {str(k): pc[k] for k in sorted(pc)}
+                counts[name] = sum(pc.values())
+            else:
+                counts[name] = back.count()
         manifest = {
             "round": rnd,
             "seq_counter": seq_counter,
             "tables": {
-                name: {"path": os.path.join(rdir, name), "rows": counts[name]}
+                name: {
+                    "path": os.path.join(rdir, name),
+                    "rows": counts[name],
+                    **({"bucket_key": bucket_by[name][0],
+                        "n_buckets": bucket_by[name][1],
+                        "partitions": partitions[name]}
+                       if name in partitions else {}),
+                }
                 for name in tables
             },
             "metrics": metrics,
@@ -87,7 +133,10 @@ class SnapshotStore:
 
     def load_tables(self, spark, rnd: int) -> dict:
         manifest = self.read_manifest(rnd)
-        return {
-            name: spark.read.parquet(info["path"])
-            for name, info in manifest["tables"].items()
-        }
+        out = {}
+        for name, info in manifest["tables"].items():
+            df = spark.read.parquet(info["path"])
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+            out[name] = df
+        return out

@@ -65,3 +65,30 @@ def test_snapshot_manifest_lineage(spark, tmp_path):
     rows1 = [tuple(r) for r in t1.collect()]
     rows2 = [tuple(r) for r in t2.collect()]
     assert rows2[: len(rows1)] == rows1
+
+
+@pytest.mark.slow
+def test_snapshot_bucket_partitioning(spark, tmp_path):
+    """Snapshots write the big tables hash-bucketed (the Iceberg
+    bucket(n, key) transform) with per-bucket row counts in the
+    manifest — the north rule's partition lineage."""
+    import os
+
+    fx = generate_fixture(n_pages=40, n_origins=3, n_seeds=2, seed=7)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    eng = CrawlEngine(spark, pages, robots, CFG,
+                      work_dir=str(tmp_path / "snaps"))
+    eng.run(seeds, max_rounds=2)
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    man = store.read_manifest(store.latest_round())
+    for t in ("resources", "paths", "triples"):
+        info = man["tables"][t]
+        assert info["n_buckets"] == 16
+        assert sum(info["partitions"].values()) == info["rows"]
+        # physical layout: one directory per bucket value
+        subdirs = [d for d in os.listdir(info["path"])
+                   if d.startswith("_bucket=")]
+        assert len(subdirs) == len(info["partitions"])
+    # loading drops the synthetic bucket column
+    tables = store.load_tables(spark, store.latest_round())
+    assert "_bucket" not in tables["resources"].columns
