@@ -166,6 +166,11 @@ def run_batch(spark, fixture_dir: str, repeat: int = 3) -> dict:
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
+    # warm the JVM + parquet reader once so the first timed query does
+    # not absorb session startup (codegen, datasource init)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     qs = entry_mod.queries()
     out = {}
     for name in HEADLINE:
