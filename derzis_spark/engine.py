@@ -1135,6 +1135,11 @@ class CrawlEngine:
                 F.countDistinct("okey").alias("bf_obj"),
             ).withColumnRenamed("predicate", "pred")
         lims = self.cfg.pred_limitations
+        known_heads = {
+            r["head_url"] for r in self.paths.filter(
+                F.col("head_kind") == "url")
+            .select("head_url").distinct().collect()
+        }
         guard = 0
         while guard < 100:
             guard += 1
@@ -1272,58 +1277,64 @@ class CrawlEngine:
                         "t_dt", "t_lang"]
                 uri = uri.select(keep).unionByName(out_uri.select(keep))
                 lit = lit.select(keep).unionByName(out_lit.select(keep))
-            uri = uri.localCheckpoint(eager=True)
-            lit = lit.localCheckpoint(eager=True)
-
-            def grouped(df, key_col):
-                seeds = df.select(
-                    F.col(key_col).alias("gkey"), "add",
-                    F.explode("p_seeds").alias("seed", "m"))
-                per_seed = seeds.groupBy("gkey", "seed").agg(
-                    F.min(F.col("m") + F.col("add"))
-                    .cast("int").alias("minlen"))
-                maps = per_seed.groupBy("gkey").agg(
-                    F.map_from_entries(F.sort_array(F.collect_list(
-                        F.struct("seed", "minlen")))).alias("new_map"))
-                dists = df.groupBy(F.col(key_col).alias("gkey")).agg(
-                    F.min(F.col("p_length") + F.col("add"))
-                    .cast("int").alias("dist"))
-                return dists.join(maps, "gkey")
-
-            url_info = grouped(uri, "node_c").localCheckpoint(eager=True)
-            lit_info = grouped(lit, "node_key").localCheckpoint(eager=True)
-            tcols = ["parent_seq", "pred", "add", "t_dir", "t_end",
-                     "t_raw", "t_kind", "t_dt", "t_lang"]
-            uri_meta = uri.select(*tcols).distinct().collect()
-            lit_meta = lit.select(*tcols).distinct().collect()
+            # ONE collect per candidate class; per-head grouping,
+            # ext-seq tracking, and the processTriples ledger all run
+            # on the collected rows (wave volume is round-bounded; the
+            # previous formulation spent ~8 Spark jobs per wave on
+            # checkpoints + per-aspect collects of the same rows)
+            ccols = ["parent_seq", "pred", "add", "p_length", "p_seeds",
+                     "node_c", "node_key", "t_dir", "t_end", "t_raw",
+                     "t_kind", "t_dt", "t_lang"]
+            uri_rows = uri.select(*ccols).collect()
+            lit_rows_raw = lit.select(*ccols).collect()
             ext_seqs = sorted(
-                {int(r["parent_seq"]) for r in uri_meta}
-                | {int(r["parent_seq"]) for r in lit_meta})
+                {int(r["parent_seq"]) for r in uri_rows}
+                | {int(r["parent_seq"]) for r in lit_rows_raw})
             # processTriples ledger: every triple behind a surviving URI
             # candidate (incl. blank-chain outgoings); literal
             # candidates only for DIRECT rdfs:label/comment (add=1) —
             # blank-chained label literals are not recorded (oracle
             # _endpoint_blank_chain vs _extend_round_endpoint)
-            for r in uri_meta:
+            for r in uri_rows:
                 self.proc_triples.add(_edge_tkey(
                     r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
                     r["t_raw"], r["t_dt"], r["t_lang"]))
-            for r in lit_meta:
+            for r in lit_rows_raw:
                 if r["add"] == 1 and r["pred"] in LABEL_PREDICATES:
                     self.proc_triples.add(_edge_tkey(
                         r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
                         r["t_raw"], r["t_dt"], r["t_lang"]))
-            url_rows = url_info.collect()
-            lit_rows = sorted(lit_info.collect(), key=lambda r: r["gkey"])
+
+            def grouped(rows, key_field):
+                # dist = min(p_length + add); seed map = per-seed min
+                info: dict[str, dict] = {}
+                for r in rows:
+                    gkey = r[key_field]
+                    c = info.setdefault(gkey, {"dist": None, "seeds": {}})
+                    d = int(r["p_length"]) + int(r["add"])
+                    c["dist"] = d if c["dist"] is None else min(c["dist"], d)
+                    for s, m in (r["p_seeds"] or {}).items():
+                        v = int(m) + int(r["add"])
+                        c["seeds"][s] = min(c["seeds"].get(s, v), v)
+                return info
+
+            url_info = grouped(uri_rows, "node_c")
+            lit_info = grouped(lit_rows_raw, "node_key")
+            url_rows = [
+                {"gkey": k, "dist": v["dist"], "new_map": v["seeds"]}
+                for k, v in url_info.items()]
+            lit_rows = sorted(
+                ({"gkey": k, "dist": v["dist"], "new_map": v["seeds"]}
+                 for k, v in lit_info.items()),
+                key=lambda r: r["gkey"])
             if not url_rows and not lit_rows:
                 break
             # min-merge into existing endpoint paths (map_zip_with)
-            upd = self.paths.join(
-                F.broadcast(url_info.select(
-                    F.col("gkey").alias("head_url"),
-                    F.col("dist").alias("new_dist"),
-                    F.col("new_map"))),
-                "head_url", "left")
+            upd_df = self.spark.createDataFrame(
+                [(r["gkey"], int(r["dist"]), r["new_map"])
+                 for r in url_rows],
+                "head_url string, new_dist int, new_map map<string,int>")
+            upd = self.paths.join(F.broadcast(upd_df), "head_url", "left")
             merged_map = F.map_from_entries(F.sort_array(F.map_entries(
                 F.map_zip_with(
                     "seed_paths", "new_map",
@@ -1338,17 +1349,15 @@ class CrawlEngine:
                 F.when(F.col("new_map").isNotNull(), merged_map)
                 .otherwise(F.col("seed_paths")).alias("seed_paths"),
             )
-            # new paths for unseen heads, seq ordered by (dist, head)
-            known_heads = {
-                r["head_url"] for r in self.paths.filter(
-                    F.col("head_kind") == "url")
-                .select("head_url").distinct().collect()
-            }
+            # new paths for unseen heads, seq ordered by (dist, head);
+            # the head set is collected once per cascade and maintained
+            # driver-side (merging never adds heads, only creation does)
             new_url = sorted(
                 (r for r in url_rows if r["gkey"] not in known_heads),
                 key=lambda r: (r["dist"], r["gkey"]))
             new_rows = []
             for r in new_url:
+                known_heads.add(r["gkey"])
                 new_rows.append(
                     ("", r["gkey"], "url", r["gkey"], [], [],
                      int(r["dist"]), "active", rnd, self.seq_counter,
