@@ -184,6 +184,13 @@ class CrawlEngine:
         # processTriples ledger (ProcessTriple.ts:38-51): triple keys
         # that extended a path (label-literal rule per Manager.ts:418-448)
         self.proc_triples: set[tuple] = set()
+        # processDoneResources ledger (ProcessDoneResource.ts:4-11):
+        # sources of proc triples AS OF extension time (the
+        # triples→sources→resources provenance chain,
+        # process-paths.ts:897-977); _tkey_sources is the driver mirror
+        # of per-triple source sets feeding it
+        self.proc_done_resources: set[str] = set()
+        self._tkey_sources: dict[tuple, set] = {}
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
@@ -287,6 +294,15 @@ class CrawlEngine:
         if "proc_triples" in tables:
             self.proc_triples = {
                 tuple(r) for r in tables["proc_triples"].collect()}
+        if "proc_done_resources" in tables:
+            self.proc_done_resources = {
+                r["url"] for r in tables["proc_done_resources"].collect()}
+        self._tkey_sources = {}
+        for r in self.triples.collect():
+            nk = (r["subject"], r["predicate"], r["object_kind"],
+                  r["object_value"], r["object_datatype"] or "",
+                  r["object_language"] or "")
+            self._tkey_sources[nk] = set(r["sources"])
         # rebuild the edge view + key set once from the triple store
         # (a full scan at resume, then incremental again)
         self.ends = self._triple_ends().localCheckpoint(eager=True)
@@ -310,6 +326,9 @@ class CrawlEngine:
                            key=lambda k: tuple("" if x is None else x
                                                for x in k)),
                     schemas.RAW_TRIPLE),
+                "proc_done_resources": self.spark.createDataFrame(
+                    [(u,) for u in sorted(self.proc_done_resources)],
+                    "url string"),
             },
             metrics, self.seq_counter,
             # Iceberg bucket(n, key)-style hash partitioning for the
@@ -827,6 +846,14 @@ class CrawlEngine:
             pending = nxt
         return resolved
 
+    def _record_proc_triple(self, tkey: tuple) -> None:
+        """processTriples + processDoneResources: record the extending
+        triple and its sources as of extension time (later sources do
+        not retroactively appear — matches the reference's incremental
+        insertProcDoneRes)."""
+        self.proc_triples.add(tkey)
+        self.proc_done_resources.update(self._tkey_sources.get(tkey, ()))
+
     def _merge_triples(self, quads: DataFrame) -> None:
         """Per-page dedup + MERGE into the triple store with source-set
         union (Triple.ts:79-232; sources $addToSet → array_distinct).
@@ -850,6 +877,8 @@ class CrawlEngine:
         edge_rows: list[tuple] = []
         for r in nrows:
             k = tuple(r[c] for c in key)
+            nk = k[:4] + (k[4] or "", k[5] or "")
+            self._tkey_sources.setdefault(nk, set()).update(r["sources"])
             if k in self._triple_keys:
                 coll_rows.append(k + (r["sources"],))
             else:
@@ -1296,12 +1325,12 @@ class CrawlEngine:
             # blank-chained label literals are not recorded (oracle
             # _endpoint_blank_chain vs _extend_round_endpoint)
             for r in uri_rows:
-                self.proc_triples.add(_edge_tkey(
+                self._record_proc_triple(_edge_tkey(
                     r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
                     r["t_raw"], r["t_dt"], r["t_lang"]))
             for r in lit_rows_raw:
                 if r["add"] == 1 and r["pred"] in LABEL_PREDICATES:
-                    self.proc_triples.add(_edge_tkey(
+                    self._record_proc_triple(_edge_tkey(
                         r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
                         r["t_raw"], r["t_dt"], r["t_lang"]))
 
@@ -1460,7 +1489,7 @@ class CrawlEngine:
             for r in child_rows:
                 if (r["head_kind"] != "literal"
                         or r["t_pred"] in LABEL_PREDICATES):
-                    self.proc_triples.add(_edge_tkey(
+                    self._record_proc_triple(_edge_tkey(
                         r["t_dir"], r["t_end"], r["t_pred"],
                         r["t_kind"], r["t_raw"], r["t_dt"], r["t_lang"]))
             total_children += n

@@ -114,6 +114,7 @@ class CrawlResult:
     triples: dict          # key -> {"triple": Triple, "sources": set}
     paths: list            # all Path objects (active + deleted)
     proc_triples: set      # triple keys that extended a path
+    proc_done_resources: set  # sources (at extension time) of those
     rounds: int
 
 
@@ -136,6 +137,7 @@ class Oracle:
         self.triples: dict[tuple, dict] = {}
         self.paths: list[Path] = []
         self.proc_triples: set[tuple] = set()
+        self.proc_done_resources: set[str] = set()
         self._seq = 0
         self._rnd = 0  # persists across run() calls (continue semantics)
 
@@ -164,6 +166,17 @@ class Oracle:
                 ))
 
     # ------------------------------------------------------------------
+    def _record_proc_triple(self, tkey: tuple) -> None:
+        """processTriples + processDoneResources ledgers: the triple
+        that extended a path, and its sources AS OF extension time
+        (insertProcTriples / insertProcDoneRes, the triples→sources→
+        resources provenance chain, process-paths.ts:874-977). Sources
+        added to the triple later do NOT retroactively appear."""
+        self.proc_triples.add(tkey)
+        rec = self.triples.get(tkey)
+        if rec:
+            self.proc_done_resources.update(rec["sources"])
+
     def _next_seq(self) -> int:
         s = self._seq
         self._seq += 1
@@ -411,7 +424,7 @@ class Oracle:
                 )
                 children.append(child)
                 if pred in LABEL_PREDICATES:
-                    self.proc_triples.add(tkey)
+                    self._record_proc_triple(tkey)
                 continue
             if node_kind == "blank":
                 if not self.cfg.allow_blank_nodes:
@@ -442,7 +455,7 @@ class Oracle:
                 triple_keys=parent.triple_keys | {tkey},
             )
             children.append(child)
-            self.proc_triples.add(tkey)
+            self._record_proc_triple(tkey)
         if children:
             parent.status = "deleted"
         return children
@@ -517,7 +530,7 @@ class Oracle:
                     continue  # seed-cycle
                 c = url_cands.setdefault(
                     node_c, {"dist": dist, "seeds": {}})
-                self.proc_triples.add(tkey)
+                self._record_proc_triple(tkey)
             c["dist"] = min(c["dist"], dist)
             for s, m in seeds.items():
                 c["seeds"][s] = min(c["seeds"].get(s, m), m)
@@ -582,7 +595,7 @@ class Oracle:
                         for s, m in seeds.items():
                             c["seeds"][s] = min(c["seeds"].get(s, m), m)
                         if pred in LABEL_PREDICATES:
-                            self.proc_triples.add(tkey)
+                            self._record_proc_triple(tkey)
                         produced = True
                         continue
                     if not self._direction_ok(pred, head_is_subj, bf):
@@ -597,7 +610,7 @@ class Oracle:
                     c["dist"] = min(c["dist"], dist)
                     for s, m in seeds.items():
                         c["seeds"][s] = min(c["seeds"].get(s, m), m)
-                    self.proc_triples.add(tkey)
+                    self._record_proc_triple(tkey)
                     produced = True
                 if produced:
                     extended.append(parent)
@@ -920,7 +933,8 @@ class Oracle:
         return CrawlResult(
             trace=self.trace, resources=self.resources, domains=self.domains,
             triples=self.triples, paths=self.paths,
-            proc_triples=self.proc_triples, rounds=rnd,
+            proc_triples=self.proc_triples,
+            proc_done_resources=self.proc_done_resources, rounds=rnd,
         )
 
 

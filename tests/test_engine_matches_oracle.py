@@ -80,6 +80,8 @@ def assert_match(oracle, engine):
     assert eng_dom == ora_dom
     # 6. processTriples ledger (triples that extended a path)
     assert engine.proc_triples == oracle.proc_triples
+    # 7. processDoneResources (sources of those, at extension time)
+    assert engine.proc_done_resources == oracle.proc_done_resources
 
 
 @pytest.mark.slow
