@@ -650,9 +650,9 @@ SQL_DOMAIN_QUEUE_COUNTERS = f"""
     FROM pages
   )
   SELECT origin,
-         SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS queued,
-         SUM(CASE WHEN status = 'done' THEN 1 ELSE 0 END) AS success,
-         SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS failed
+         CAST(SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS BIGINT) AS queued,
+         CAST(SUM(CASE WHEN status = 'done' THEN 1 ELSE 0 END) AS BIGINT) AS success,
+         CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed
   FROM st GROUP BY origin
 """
 

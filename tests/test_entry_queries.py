@@ -24,10 +24,17 @@ def ddb():
 
 
 def normalize(v):
+    # Mirror the driver's stringified value-hash: 14 (BIGINT) and 14.0
+    # (DOUBLE) must NOT compare equal, or int/float drift passes locally
+    # but hash-fails in CORRECTNESS (VERDICT r1 "What's wrong" #1).
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     return v
