@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from derzis_spark import queries as Q
 from derzis_spark import pipeline_queries as P
+from derzis_spark import frozen_oracles as FO
 
 
 def _mini_crawl(spark: SparkSession, n_pages: int = 60,
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_dedup_upsert": Q.q_triple_dedup_upsert,
         # §2.5 label queue
         "label_fetch_batching": Q.q_label_fetch_batching,
+        "label_upsert": Q.q_label_upsert,
         # §2.7 scalar functions
         "next_allowed_calc": Q.q_next_allowed_calc,
         # training-data pipeline: dedup
@@ -103,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": P.q_minhash_lsh_buckets,
         "simhash": P.q_simhash,
         "jaccard_near_dup": P.q_jaccard_near_dup,
+        "minhash64_signatures": P.q_minhash64_signatures,
+        "jaccard_lsh_pairs": P.q_jaccard_lsh_pairs,
         # training-data pipeline: similarity
         "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
         "ann_lsh_buckets": P.q_ann_lsh_buckets,
@@ -152,12 +156,15 @@ def oracle_sql() -> dict[str, str]:
         "seed_coverage": Q.SQL_SEED_COVERAGE,
         "triple_dedup_upsert": Q.SQL_TRIPLE_DEDUP_UPSERT,
         "label_fetch_batching": Q.SQL_LABEL_FETCH_BATCHING,
+        "label_upsert": Q.SQL_LABEL_UPSERT,
         "next_allowed_calc": Q.SQL_NEXT_ALLOWED_CALC,
         "dedup_exact": P.SQL_DEDUP_EXACT,
         "minhash_signatures": P.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_buckets": P.SQL_MINHASH_LSH_BUCKETS,
         "simhash": P.SQL_SIMHASH,
         "jaccard_near_dup": P.SQL_JACCARD_NEAR_DUP,
+        "minhash64_signatures": P.SQL_MINHASH64_SIGNATURES,
+        "jaccard_lsh_pairs": P.SQL_JACCARD_LSH_PAIRS,
         "ann_bruteforce_cosine": P.SQL_ANN_BRUTEFORCE,
         "ann_lsh_buckets": P.SQL_ANN_LSH_BUCKETS,
         "embedding_centroids": P.SQL_EMBEDDING_CENTROIDS,
@@ -168,5 +175,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": P.SQL_LANG_ID,
         "doc_fingerprint": P.SQL_DOC_FINGERPRINT,
         "multimodal_metadata": P.SQL_MULTIMODAL_METADATA,
-        # crawl_trace_mini: intentionally no oracle (iterative engine)
+        # iterative entries: the mini fixtures are seeded, so the
+        # expected outputs are frozen VALUES literals (regenerate with
+        # scripts/freeze_oracles.py) — the driver value-hashes the
+        # crawl engine itself instead of a rows-only check
+        "crawl_trace_mini": FO.SQL_CRAWL_TRACE_MINI,
+        "crawl_trace_endpoint": FO.SQL_CRAWL_TRACE_ENDPOINT,
+        "fetch_extract_batch": FO.SQL_FETCH_EXTRACT_BATCH,
     }

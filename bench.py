@@ -44,6 +44,8 @@ HEADLINE = [
     "alternate_redirects",
     "dedup_exact",
     "minhash_lsh_buckets",
+    "minhash64_signatures",
+    "jaccard_lsh_pairs",
     "simhash",
     "ann_bruteforce_cosine",
     "ann_ivf",
@@ -98,12 +100,16 @@ def build(cores: int, shuffle_partitions: int, split_mb: int | None = None):
     return spark
 
 
-def run_crawl(spark) -> dict:
+def run_crawl(spark, repeat: int | None = None) -> dict:
+    """Crawl-loop throughput, min-of-N (the VM is ±20% noisy; a single
+    run can't distinguish a regression from noise round-over-round)."""
     from derzis_spark import schemas
     from derzis_spark.config import CrawlConfig
     from derzis_spark.engine import CrawlEngine
     from derzis_spark.fixtures import generate_fixture
 
+    if repeat is None:
+        repeat = int(os.environ.get("SPARK_GRAFT_CRAWL_REPEAT", "3"))
     fx = generate_fixture(**CRAWL_FIXTURE)
     pages = spark.createDataFrame(fx.pages_rows(), schemas.PAGES)
     pages.cache()
@@ -111,17 +117,25 @@ def run_crawl(spark) -> dict:
     robots = spark.createDataFrame(fx.robots_rows(), schemas.ROBOTS)
     seeds = spark.createDataFrame([(u,) for u in fx.seeds], schemas.SEEDS)
     cfg = CrawlConfig(**CRAWL_CONFIG)
-    engine = CrawlEngine(spark, pages, robots, cfg)
-    t0 = time.time()
-    engine.run(seeds)
-    dt = time.time() - t0
-    n_urls = len(engine._trace_rows)
-    return {
-        "urls": n_urls,
-        "sec": round(dt, 2),
-        "urls_per_sec": round(n_urls / dt, 2) if dt > 0 else 0.0,
-        "rounds": engine.round,
-    }
+    runs: list[float] = []
+    best: dict | None = None
+    for _ in range(max(1, repeat)):
+        engine = CrawlEngine(spark, pages, robots, cfg)
+        t0 = time.time()
+        engine.run(seeds)
+        dt = time.time() - t0
+        # every scheduled URL gets exactly one trace row, so the
+        # metrics already carry the count — no trace collect needed
+        n_urls = sum(m.get("scheduled", 0) for m in engine.metrics)
+        runs.append(round(dt, 2))
+        if best is None or dt < best["sec"]:
+            best = {
+                "urls": n_urls,
+                "sec": round(dt, 2),
+                "urls_per_sec": round(n_urls / dt, 2) if dt > 0 else 0.0,
+                "rounds": engine.round,
+            }
+    return {**best, "runs": runs}
 
 
 def ensure_scale_fixture() -> str:
@@ -167,8 +181,13 @@ def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
     # warm the JVM + parquet reader once so the first timed query does
-    # not absorb session startup (codegen, datasource init)
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # not absorb session startup (codegen, datasource init); warm on
+    # whichever table exists in the fixture dir
+    for t in ("region", "documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+            break
     spark.range(1000).selectExpr("sum(id)").collect()
 
     qs = entry_mod.queries()

@@ -21,6 +21,17 @@ LABEL_PREDICATES = (
     "http://www.w3.org/2000/01/rdf-schema#comment",
 )
 
+#: fetch-status → domain warning counter (Resource.ts:232-266: mime /
+#: too_many_redirects → E_RESOURCE_ISSUE; the else branch → E_UNKNOWN,
+#: which also covers robots-disallowed since RobotsForbiddenError maps
+#: to no listed errorType)
+WARN_BY_STATUS = {
+    "error:mime": "E_RESOURCE_ISSUE",
+    "error:too_many_redirects": "E_RESOURCE_ISSUE",
+    "error:not_found": "E_UNKNOWN",
+    "error:disallowed": "E_UNKNOWN",
+}
+
 
 @dataclass(frozen=True)
 class PredLimitation:
@@ -53,6 +64,12 @@ class CrawlConfig:
     #: cap on domains scheduled per round (None = all eligible;
     #: reference analog: aggregate worker capacity)
     round_domain_limit: int | None = None
+    #: cap on total URLs scheduled per round (None = uncapped). Applied
+    #: as a parallel top-k (orderBy+limit) over the priority-ranked
+    #: admitted set BEFORE the driver collect, so a mega-frontier round
+    #: can never materialize more than this many rows on the driver;
+    #: URLs beyond the cap stay eligible for later rounds
+    round_budget_cap: int | None = None
     #: allow blank-node objects (reference default false, config/src/index.ts:48)
     allow_blank_nodes: bool = False
     #: predicate limitations (reference: StepClass.predLimitations)

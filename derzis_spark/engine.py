@@ -16,9 +16,13 @@ Phase B  priority ranking → per-domain top-k → politeness admission →
 
 Scale design (1000-executor cluster / 100 TB pages; tested local[32]):
 - the driver only ever materializes O(per-round schedule) rows — the
-  scheduled set (≤ eligible domains × per-domain budget) and its trace.
-  The frontier, seen-set, triple store and pages table stay distributed
-  end-to-end;
+  scheduled set (≤ eligible domains × per-domain budget, hard-capped by
+  ``round_budget_cap``) plus per-wave done/blank head lists. The
+  frontier, seen-set, triple store, trace, proc ledgers and pages table
+  stay distributed end-to-end: triple MERGE is a broadcast semi-scan +
+  append (no triple ever reaches the driver), new-URL inserts are
+  anti-join appends with executor-side Bloom partial-union maintenance,
+  and the robots fetch-gate runs vectorized inside the schedule job;
 - joins against big tables keep the big side shuffle-free by
   broadcasting the (small) per-round side: fetch = pages ⋈
   broadcast(schedule), status updates = state ⋈ broadcast(updates);
@@ -38,7 +42,8 @@ import os
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
-from derzis_spark.config import CrawlConfig, LABEL_PREDICATES
+from derzis_spark.config import (
+    CrawlConfig, LABEL_PREDICATES, WARN_BY_STATUS)
 from derzis_spark.functions import udfs
 from derzis_spark.functions.core import matches_predicate_pattern
 from derzis_spark import schemas
@@ -90,42 +95,6 @@ _ENDS_SCHEMA = ("end string, dir_rank int, pred string, "
                 "node_c string, t_dt string, t_lang string")
 
 
-def _edge_rows_for_key(key: tuple) -> list[tuple]:
-    """Edges of one triple key — the driver-side mirror of
-    `_triple_ends` (bit-identical: same core canonicalizer the Arrow
-    UDFs wrap). t_dt/t_lang carry the literal identity so the full
-    triple key is reconstructible from any edge row (the processTriples
-    ledger needs it, ProcessTriple.ts:38-51): dir 0 ⇒
-    (end, pred, node_kind, node_raw, t_dt, t_lang); dir 1 ⇒
-    (node_raw, pred, 'uri', end, null, null)."""
-    from derzis_spark.functions.core import canonicalize_url as _canon
-
-    subject, predicate, okind, ovalue, odt, olang = key
-    if okind == "literal":
-        node_key = f"{ovalue}|{odt or ''}|{olang or ''}"
-    else:
-        node_key = ovalue
-    out = []
-    if not (okind == "uri" and ovalue == subject):
-        node_c = _canon(ovalue) if okind == "uri" else ovalue
-        out.append((subject, 0, predicate, okind, ovalue, node_key, node_c,
-                    odt, olang))
-    if okind == "uri" and subject != ovalue:
-        out.append((ovalue, 1, predicate, "uri", subject, subject,
-                    _canon(subject), None, None))
-    return out
-
-
-def _edge_tkey(dir_rank: int, end: str, pred: str, node_kind: str,
-               node_raw: str, t_dt, t_lang) -> tuple:
-    """Reconstruct the full triple key from an edge row (inverse of
-    `_edge_rows_for_key`); dt/lang normalize to "" like the oracle's
-    triple_key."""
-    if dir_rank == 0:
-        return (end, pred, node_kind, node_raw, t_dt or "", t_lang or "")
-    return (node_raw, pred, "uri", end, "", "")
-
-
 def _semi_filter(spark, df, col: str, values: list, threshold: int = 64):
     """Membership filter that stays plan-friendly: literal isin for
     small sets (cheap to compile, no exchange), broadcast semi-join
@@ -156,54 +125,67 @@ class CrawlEngine:
         self.seq_counter = 0
         self._bloom: BloomFilter | None = None
         self._bloom_bc = None
-        # Driver-side mirrors of per-round-bounded state. The engine
-        # already collects every newly inserted URL (to feed the Bloom
-        # filter) and every trace row, so keeping these exact sets costs
-        # no extra Spark work and lets the extension cascade and the
-        # robots/fetch gates run without launching a job per wave. At
-        # true 10^10 scale the authoritative copies are the distributed
-        # tables (the wave probe degrades to a bucketed isin probe); the
-        # domain-keyed caches are dimension-sized (reference keeps the
-        # same robots cache per domain, models/src/Domain.ts:117-150).
-        self._seen_urls: set[str] = set()
-        self._done_urls: set[str] = set()
+        #: False until the first triple merge — gates the triple-cache
+        #: fetch-skip probe (an empty store can't have cache hits)
+        self._store_nonempty = False
+        #: new-URL batches awaiting the per-checkpoint Bloom fold
+        self._pending_bloom: list[DataFrame] = []
+        # The only driver-side caches are DIMENSION-sized (per-domain —
+        # the reference keeps the same per-domain robots cache,
+        # models/src/Domain.ts:117-150). URL-level state (seen-set,
+        # done-set, triple keys, ledgers, trace) lives exclusively in
+        # the distributed tables: the driver only ever materializes
+        # O(per-round schedule) rows plus per-wave done/blank head
+        # lists, so rounds scale past driver memory.
         self._known_origins: set[str] = set()
-        self._robots_cache: dict[str, str] = {}
         self._unvisited_domains = 0
         self._found_cache: DataFrame | None = None
         self._wave_caches: list[DataFrame] = []
         # incremental edge view for path extension: rebuilt-from-scratch
         # would re-scan (and re-canonicalize) the whole triple store
-        # every round; instead edges of the round's NEW triple keys are
-        # appended (the per-round key set is collected anyway for the
-        # merge, and edge construction is a pure per-key function)
+        # every round; instead edges of the round's NEW (fresh) triple
+        # keys are appended as a distributed projection of the fresh
+        # rows (no driver materialization)
         self.ends: DataFrame | None = None
-        self._triple_keys: set[tuple] = set()
         self._triples_dirty = False
-        self._wave_size_hint = 0
         # processTriples ledger (ProcessTriple.ts:38-51): triple keys
         # that extended a path (label-literal rule per Manager.ts:418-448)
-        self.proc_triples: set[tuple] = set()
-        # processDoneResources ledger (ProcessDoneResource.ts:4-11):
+        # and processDoneResources (ProcessDoneResource.ts:4-11):
         # sources of proc triples AS OF extension time (the
         # triples→sources→resources provenance chain,
-        # process-paths.ts:897-977); _tkey_sources is the driver mirror
-        # of per-triple source sets feeding it
-        self.proc_done_resources: set[str] = set()
-        self._tkey_sources: dict[tuple, set] = {}
+        # process-paths.ts:897-977). Both are append-only DataFrames
+        # (ledger tables), deduped at read/commit time.
+        self._proc_triples_df: DataFrame | None = None
+        self._proc_done_df: DataFrame | None = None
         self.metrics: list[dict] = []
         self.resources: DataFrame | None = None
         self.domains: DataFrame | None = None
         self.paths: DataFrame | None = None
         self.triples: DataFrame | None = None
-        # the trace is O(per-round schedule × rounds) and is produced on
-        # the driver row-by-round anyway (the schedule is collected); it
-        # lives as a list and is committed as a table in each snapshot
-        self._trace_rows: list[tuple] = []
+        # the trace is an append-only table: the round's rows are
+        # produced driver-side (the schedule is collected — the
+        # round-synchronous driver contract) and appended as a
+        # DataFrame; the accumulated trace is never held on the driver
+        self._trace_df: DataFrame | None = None
+        # append-only tables (triples/ends/trace/ledgers) have flat data
+        # lineage but their logical plans grow one union node per round;
+        # checkpoint them every N rounds to bound plan depth
+        self._ckpt_calls = 0
+        self.append_ckpt_every = 16
 
     @property
     def trace(self) -> DataFrame:
-        return self.spark.createDataFrame(self._trace_rows, schemas.TRACE)
+        return self._trace_df
+
+    @property
+    def proc_triples(self) -> set:
+        """The processTriples ledger as a set of 6-tuples (test/compare
+        surface; the authoritative copy is the distributed table)."""
+        return {tuple(r) for r in self._proc_triples_df.distinct().collect()}
+
+    @property
+    def proc_done_resources(self) -> set:
+        return {r["url"] for r in self._proc_done_df.distinct().collect()}
 
     # ------------------------------------------------------------------
     # bootstrap / resume
@@ -223,16 +205,15 @@ class CrawlEngine:
             .drop("file_order")
             .withColumn("origin", udfs.url_origin(F.col("url")))
         ).collect()  # one job; O(seed list) by definition
-        self._seen_urls = {r["url"] for r in seed_rows}
-        self._done_urls = set()
         self._known_origins = {r["origin"] for r in seed_rows}
-        self._robots_cache = {}
         self._unvisited_domains = len(self._known_origins)
         self.resources = self.spark.createDataFrame(
-            [(r["url"], r["origin"], "unvisited") for r in seed_rows],
+            [(r["url"], r["origin"], "unvisited", None, None)
+             for r in seed_rows],
             schemas.RESOURCES)
         self.domains = self.spark.createDataFrame(
-            [(o, "unvisited", None, "", self.cfg.default_crawl_delay, 0)
+            [(o, "unvisited", None, "", self.cfg.default_crawl_delay, 0,
+              {}, [])
              for o in sorted(self._known_origins)],
             schemas.DOMAINS)
         if self.cfg.path_type == "endpoint":
@@ -250,8 +231,10 @@ class CrawlEngine:
                 schemas.PATHS)
         self.triples = self.spark.createDataFrame([], schemas.TRIPLES)
         self.ends = self.spark.createDataFrame([], _ENDS_SCHEMA)
-        self._triple_keys = set()
-        self._trace_rows = []
+        self._trace_df = self.spark.createDataFrame([], schemas.TRACE)
+        self._proc_triples_df = self.spark.createDataFrame(
+            [], schemas.RAW_TRIPLE)
+        self._proc_done_df = self.spark.createDataFrame([], "url string")
         self.seq_counter = len(seed_rows)
         self.round = 0
         if self.store:
@@ -271,46 +254,24 @@ class CrawlEngine:
         self.domains = tables["domains"]
         self.paths = tables["paths"]
         self.triples = tables["triples"]
-        self._trace_rows = [
-            (r["round"], r["seq"], r["url"], r["origin"], r["status"])
-            for r in tables["trace"].orderBy("round", "seq").collect()
-        ]
+        self._trace_df = tables["trace"]
         self.round = manifest["round"]
         self.seq_counter = manifest["seq_counter"]
-        # rebuild the driver-side mirrors from the snapshot
-        res_rows = self.resources.select("url", "status").collect()
-        self._seen_urls = {r["url"] for r in res_rows}
-        self._done_urls = {r["url"] for r in res_rows
-                           if r["status"] == "done"}
-        dom_rows = self.domains.select(
-            "origin", "status", "robots_txt").collect()
+        # rebuild the (dimension-sized) per-domain driver counters
+        dom_rows = self.domains.select("origin", "status").collect()
         self._known_origins = {r["origin"] for r in dom_rows}
         self._unvisited_domains = sum(
             1 for r in dom_rows if r["status"] == "unvisited")
-        self._robots_cache = {
-            r["origin"]: (r["robots_txt"] or "") for r in dom_rows
-            if r["status"] != "unvisited"
-        }
-        if "proc_triples" in tables:
-            self.proc_triples = {
-                tuple(r) for r in tables["proc_triples"].collect()}
-        if "proc_done_resources" in tables:
-            self.proc_done_resources = {
-                r["url"] for r in tables["proc_done_resources"].collect()}
-        self._tkey_sources = {}
-        for r in self.triples.collect():
-            nk = (r["subject"], r["predicate"], r["object_kind"],
-                  r["object_value"], r["object_datatype"] or "",
-                  r["object_language"] or "")
-            self._tkey_sources[nk] = set(r["sources"])
-        # rebuild the edge view + key set once from the triple store
+        self._proc_triples_df = tables.get(
+            "proc_triples",
+            self.spark.createDataFrame([], schemas.RAW_TRIPLE))
+        self._proc_done_df = tables.get(
+            "proc_done_resources",
+            self.spark.createDataFrame([], "url string"))
+        # rebuild the edge view once from the triple store
         # (a full scan at resume, then incremental again)
-        self.ends = self._triple_ends().localCheckpoint(eager=True)
-        self._triple_keys = {
-            tuple(r) for r in self.triples.select(
-                "subject", "predicate", "object_kind", "object_value",
-                "object_datatype", "object_language").collect()
-        }
+        self.ends = self._ends_of(self.triples).localCheckpoint(eager=True)
+        self._store_nonempty = True
 
     def _commit(self, metrics: dict) -> None:
         self.store.commit(
@@ -321,14 +282,11 @@ class CrawlEngine:
                 "paths": self.paths,
                 "triples": self.triples,
                 "trace": self.trace,
-                "proc_triples": self.spark.createDataFrame(
-                    sorted(self.proc_triples,
-                           key=lambda k: tuple("" if x is None else x
-                                               for x in k)),
-                    schemas.RAW_TRIPLE),
-                "proc_done_resources": self.spark.createDataFrame(
-                    [(u,) for u in sorted(self.proc_done_resources)],
-                    "url string"),
+                "proc_triples": self._proc_triples_df.distinct().orderBy(
+                    "subject", "predicate", "object_kind", "object_value",
+                    "object_datatype", "object_language"),
+                "proc_done_resources":
+                    self._proc_done_df.distinct().orderBy("url"),
             },
             metrics, self.seq_counter,
             # Iceberg bucket(n, key)-style hash partitioning for the
@@ -340,11 +298,15 @@ class CrawlEngine:
                 "triples": ("subject", 16),
             },
         )
+        self._flush_bloom()
         tables = self.store.load_tables(self.spark, self.round)
         self.resources = tables["resources"]
         self.domains = tables["domains"]
         self.paths = tables["paths"]
         self.triples = tables["triples"]
+        self._trace_df = tables["trace"]
+        self._proc_triples_df = tables["proc_triples"]
+        self._proc_done_df = tables["proc_done_resources"]
         self.ends = self.ends.localCheckpoint(eager=True)
         self._triples_dirty = False
         for c in self._wave_caches:
@@ -357,16 +319,23 @@ class CrawlEngine:
         concurrently (Spark's scheduler is thread-safe; on a real
         cluster these are the parallel MERGE commits of the round).
 
-        triples/ends are append-only unions of driver-local batches
-        (flat lineage, no upstream recompute), so they only need a
-        checkpoint after the rare collision-merge rewrite
-        (_merge_triples) — checkpointing them every round would
-        re-materialize O(total store) per round."""
+        triples/ends/trace/ledgers are append-only unions (flat data
+        lineage), so they only need a checkpoint after the rare
+        collision-merge rewrite (_merge_triples) — plus a periodic one
+        every ``append_ckpt_every`` rounds to bound LOGICAL plan depth
+        (each round appends a union node; over hundreds of rounds
+        analysis time would grow linearly otherwise)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        self._flush_bloom()
+        self._ckpt_calls += 1
+        periodic = (self._ckpt_calls % self.append_ckpt_every) == 0
         tables = ["resources", "domains", "paths"]
-        if self._triples_dirty:
+        if self._triples_dirty or periodic:
             tables.append("triples")
+        if periodic:
+            tables.extend(["ends", "_trace_df",
+                           "_proc_triples_df", "_proc_done_df"])
         with ThreadPoolExecutor(max_workers=len(tables)) as ex:
             futs = {
                 t: ex.submit(getattr(self, t).localCheckpoint, eager=True)
@@ -400,12 +369,18 @@ class CrawlEngine:
         if convert_to_endpoint:
             self.convert_to_endpoint()
         else:
-            active_heads = {
+            # done-headed active paths re-extend under the new limits;
+            # the done probe is a semi-join against the resources table
+            # (not a driver seen-set)
+            done_heads = sorted(
                 r["head_url"] for r in self.paths.filter(
                     (F.col("status") == "active")
                     & (F.col("head_kind") == "url"))
-                .select("head_url").distinct().collect()}
-            done_heads = sorted(active_heads & self._done_urls)
+                .select("head_url").distinct()
+                .join(self.resources.filter(F.col("status") == "done")
+                      .select(F.col("url").alias("head_url")),
+                      "head_url", "left_semi")
+                .collect())
             if done_heads:
                 if self.cfg.path_type == "endpoint":
                     self._extend_endpoint(self.round, done_heads)
@@ -434,10 +409,10 @@ class CrawlEngine:
         ).collect()
         seed_urls = [r["url"] for r in sorted(seed_rows,
                                               key=lambda r: r["rk"])]
-        missing = [u for u in seed_urls if u not in self._seen_urls]
-        if missing:
+        if seed_urls:
+            # unseen seeds are filtered by _insert_new_urls' anti-join
             self._insert_new_urls(self.spark.createDataFrame(
-                [(u,) for u in missing], "url string"))
+                [(u,) for u in seed_urls], "url string"))
         if self.cfg.path_type == "endpoint":
             ep_heads = {
                 r["head_url"] for r in self.paths.filter(
@@ -490,10 +465,11 @@ class CrawlEngine:
                 F.when(is_err, F.lit(0))
                 .otherwise(F.col("next_allowed")).cast("int")
                 .alias("next_allowed"),
+                # warning history survives the reset (the reference
+                # never clears warnings/lastWarnings)
+                "warnings", "last_warnings",
             )
             self._unvisited_domains += len(err_doms)
-            for o in err_doms:
-                self._robots_cache.pop(o, None)
         if self.store:
             self._commit({"phase": "reset_errors"})
         else:
@@ -614,8 +590,6 @@ class CrawlEngine:
         rows = updates.collect()  # O(#unvisited domains this round)
         if rows:
             self._unvisited_domains -= len(rows)
-            for r in rows:
-                self._robots_cache[r["origin"]] = r["new_robots_txt"] or ""
             upd_df = self.spark.createDataFrame(
                 [tuple(r) for r in rows],
                 "origin string, new_robots_status string, "
@@ -634,9 +608,46 @@ class CrawlEngine:
                      .cast("int").alias("crawl_delay"),
                     F.coalesce("new_next_allowed", "next_allowed")
                      .cast("int").alias("next_allowed"),
+                    "warnings", "last_warnings",
                 )
             )
+            # host_not_found robots → E_DOMAIN_NOT_FOUND warning
+            # (Domain.ts:1026-1049)
+            self._merge_domain_warnings([
+                (r["origin"], {"E_DOMAIN_NOT_FOUND": 1},
+                 ["E_DOMAIN_NOT_FOUND"])
+                for r in rows if r["new_dom_status"] == "error"])
         return len(rows)
+
+    def _merge_domain_warnings(self, wrows: list[tuple]) -> None:
+        """Merge per-origin warning increments into the domains table:
+        counter map union-add + last-10 ring append (Domain.ts:44-58;
+        $inc warnings.* / $push lastWarnings $slice:-10). ``wrows``:
+        (origin, {errType: n}, [errType in event order]) — driver rows
+        are O(origins touched this round), dimension-bounded."""
+        if not wrows:
+            return
+        wdf = self.spark.createDataFrame(
+            wrows,
+            "origin string, w_inc map<string,int>, lw_new array<string>")
+        d = self.domains.join(F.broadcast(wdf), "origin", "left")
+        inc = F.coalesce(
+            F.col("w_inc"), F.expr("cast(map() as map<string,int>)"))
+        merged_w = F.map_zip_with(
+            F.col("warnings"), inc,
+            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+        lw_cat = F.concat(
+            F.col("last_warnings"),
+            F.coalesce(F.col("lw_new"),
+                       F.expr("cast(array() as array<string>)")))
+        self.domains = d.select(
+            "origin", "status", "robots_status", "robots_txt",
+            "crawl_delay", "next_allowed",
+            merged_w.alias("warnings"),
+            F.slice(lw_cat,
+                    F.greatest(F.lit(1), F.size(lw_cat) - F.lit(9)),
+                    F.lit(10)).alias("last_warnings"),
+        )
 
     def _phase_schedule(self, rnd: int, eligible: DataFrame) -> list[Row]:
         """Priority ranking + per-domain top-k + politeness admission.
@@ -665,7 +676,26 @@ class CrawlEngine:
             url_best.withColumn("dom_rk", F.row_number().over(per_dom))
             .filter(F.col("dom_rk") <= self.cfg.resources_per_domain)
         )
-        rows = ranked.select("head_url", "origin", "pr").collect()
+        if self.cfg.round_budget_cap is not None:
+            # bound the driver materialization: parallel top-k
+            # (TakeOrderedAndProject) in priority order — a mega
+            # frontier can never push more than the cap through collect
+            ranked = ranked.orderBy("pr", "head_url").limit(
+                self.cfg.round_budget_cap)
+        # robots fetch-gate (Worker.ts:415-423) fused into the schedule
+        # job: the vectorized matcher runs executor-side over the ranked
+        # rows (robots_txt rides along from the domains join), so a
+        # mega-round's gate scales with cores instead of single-
+        # threading the driver
+        gate = ranked.join(
+            F.broadcast(self.domains.select("origin", "robots_txt")),
+            "origin", "left")
+        gate = gate.withColumn(
+            "allowed",
+            self._robots_allows(
+                F.coalesce(F.col("robots_txt"), F.lit("")),
+                F.col("head_url")))
+        rows = gate.select("head_url", "origin", "pr", "allowed").collect()
         rows.sort(key=lambda r: (tuple(r["pr"]), r["head_url"]))
         if self.cfg.round_domain_limit is not None:
             kept: list[str] = []
@@ -678,39 +708,65 @@ class CrawlEngine:
 
     def _phase_fetch(self, rnd: int, sched_rows: list[Row]):
         """Fetch = join of scheduled frontier vs pages (the sandbox
-        substitute for HTTP GET, Worker.ts:697-728) + robots gate
-        (Worker.ts:415-423).
+        substitute for HTTP GET, Worker.ts:697-728).
 
-        Returns (trace_tuples, quads_df). The robots gate runs on the
-        driver over the already-collected schedule (the robots cache is
-        per-domain state the driver owns); text extraction and triple
-        parsing are Arrow UDFs on executors."""
-        from derzis_spark.functions.core import robots_allows as _allows
-
-        # robots texts come from the driver cache (filled when the domain
-        # was robots-checked; a scheduled domain is always 'ready', so a
-        # miss only happens right after resume — backfill in one job)
-        missing = sorted({r["origin"] for r in sched_rows
-                          if r["origin"] not in self._robots_cache})
-        if missing:
-            for r in self.domains.select("origin", "robots_txt").join(
-                    F.broadcast(self.spark.createDataFrame(
-                        [(o,) for o in missing], "origin string")),
-                    "origin").collect():
-                self._robots_cache[r["origin"]] = r["robots_txt"] or ""
+        Returns (trace_tuples, quads_df). The robots gate already ran
+        executor-side inside the schedule job (``allowed`` rides on the
+        rows); text extraction and triple parsing are Arrow UDFs on
+        executors — the driver only routes the schedule-bounded rows."""
         trace: list[tuple] = []
         attempted: list[tuple[str, str]] = []  # (url, origin)
         for rseq, r in enumerate(sched_rows):
             url, origin = r["head_url"], r["origin"]
-            txt = self._robots_cache.get(origin, "")
-            if not _allows(txt, url, self.cfg.user_agent):
+            if not r["allowed"]:
                 trace.append((rnd, rseq, url, origin, "error:disallowed"))
             else:
                 attempted.append((url, origin, rseq))
         resolved_pairs: list[tuple[str, str]] = []
+        cached_quads: DataFrame | None = None
+        hit_status: dict[str, str] = {}
         if attempted:
+            # triple-cache fetch-skip (Worker.ts:340-379, used :425-440):
+            # a scheduled URL already present in the triple store's
+            # source sets skips the pages join entirely; its cached
+            # triples are re-submitted verbatim (already namespaced and
+            # validity-filtered — they bypass the parse pipeline below).
+            # One broadcast semi-scan of the store per round — the same
+            # MERGE-scan cost shape as _merge_triples.
+            hits: set[str] = set()
+            if self._store_nonempty:
+                # (an empty store can't have cache hits; skip the probe
+                # job until the first merge)
+                att_urls = self.spark.createDataFrame(
+                    [(u,) for (u, _, _) in attempted], "url string")
+                src_exp = self.triples.select(
+                    F.explode("sources").alias("url"))
+                hits = {
+                    r["url"] for r in src_exp.join(
+                        F.broadcast(att_urls), "url", "left_semi")
+                    .distinct().collect()
+                }
+            if hits:
+                hit_status = {u: "done" for u in hits}
+                hit_df = self.spark.createDataFrame(
+                    [(u,) for u in sorted(hits)], "source string")
+                cached_quads = (
+                    self.triples
+                    .select(F.explode("sources").alias("source"),
+                            "subject", "predicate", "object_kind",
+                            "object_value", "object_datatype",
+                            "object_language")
+                    .join(F.broadcast(hit_df), "source")
+                )
+                attempted_miss = [(u, o, r) for (u, o, r) in attempted
+                                  if u not in hits]
+            else:
+                attempted_miss = attempted
+        else:
+            attempted_miss = []
+        if attempted_miss:
             att_df = self.spark.createDataFrame(
-                attempted, "url string, origin string, rseq int")
+                attempted_miss, "url string, origin string, rseq int")
             found = self.pages.join(F.broadcast(att_df), "url").select(
                 "url", "origin", "rseq",
                 udfs.extract_text(F.col("html")).alias("extracted_text"),
@@ -728,9 +784,9 @@ class CrawlEngine:
             # wrong-MIME pages chase their RDF alternate link, one
             # batched pages-join per hop (≤ max_redirects hops total
             # for the whole round, not per URL)
-            status_by_url: dict[str, str] = {}
+            status_by_url: dict[str, str] = dict(hit_status)
             pending: list[tuple[str, str, int]] = []
-            for url, origin, rseq in attempted:
+            for url, origin, rseq in attempted_miss:
                 m = meta.get(url)
                 if m is None:
                     status_by_url[url] = "error:not_found"
@@ -747,6 +803,8 @@ class CrawlEngine:
                 trace.append((rnd, rseq, url, origin, status_by_url[url]))
         else:
             found = None
+            for url, origin, rseq in attempted:
+                trace.append((rnd, rseq, url, origin, hit_status[url]))
         trace.sort(key=lambda t: t[1])
 
         quads = None
@@ -791,6 +849,9 @@ class CrawlEngine:
             else:
                 q = q.filter(~subj_is_blank & ~obj_is_blank)
             quads = q
+        if cached_quads is not None:
+            quads = (quads.unionByName(cached_quads)
+                     if quads is not None else cached_quads)
         return trace, quads
 
     def _redirect_step(self, alt: str | None, redirect: int):
@@ -846,55 +907,73 @@ class CrawlEngine:
             pending = nxt
         return resolved
 
-    def _record_proc_triple(self, tkey: tuple) -> None:
-        """processTriples + processDoneResources: record the extending
-        triple and its sources as of extension time (later sources do
-        not retroactively appear — matches the reference's incremental
-        insertProcDoneRes)."""
-        self.proc_triples.add(tkey)
-        self.proc_done_resources.update(self._tkey_sources.get(tkey, ()))
+    def _ledger_commit(self, keys: DataFrame) -> None:
+        """Append a cascade's proc-triple keys (columns = RAW_TRIPLE with
+        datatype/language already ''-normalized) to the processTriples
+        ledger, and their CURRENT sources to processDoneResources —
+        "sources as of extension time": later sources do not
+        retroactively appear (insertProcTriples / insertProcDoneRes,
+        process-paths.ts:874-977). Both ledgers stay distributed; the
+        source resolution is one store join per cascade (the same
+        MERGE-scan cost shape as _merge_triples)."""
+        kcols = ["subject", "predicate", "object_kind", "object_value",
+                 "object_datatype", "object_language"]
+        keys = keys.distinct().localCheckpoint(eager=True)
+        self._proc_triples_df = self._proc_triples_df.unionByName(keys)
+        norm = self.triples.select(
+            "subject", "predicate", "object_kind", "object_value",
+            F.coalesce("object_datatype", F.lit(""))
+             .alias("object_datatype"),
+            F.coalesce("object_language", F.lit(""))
+             .alias("object_language"),
+            "sources")
+        src = (
+            norm.join(keys, kcols, "left_semi")
+            .select(F.explode("sources").alias("url"))
+            .distinct()
+            # eager: freezes "as of extension time" against the current
+            # store and keeps the ledger plan flat
+            .localCheckpoint(eager=True)
+        )
+        self._proc_done_df = self._proc_done_df.unionByName(src)
 
     def _merge_triples(self, quads: DataFrame) -> None:
         """Per-page dedup + MERGE into the triple store with source-set
         union (Triple.ts:79-232; sources $addToSet → array_distinct).
 
-        Incremental: the round's deduped triples are collected once
-        (the keys feed the edge view and Bloom mirrors anyway). Fresh
-        keys APPEND — no shuffle, no re-aggregation of the store.
-        Only keys already present (a triple re-extracted from another
-        page) take the merge join, and that is a broadcast of the
-        collision rows against the store — the MERGE INTO shape at
-        Iceberg scale. The old formulation re-grouped the ENTIRE store
-        every round: O(total triples) per round, which is what makes a
-        long crawl quadratic."""
+        Fully distributed MERGE INTO shape — no triple ever reaches the
+        driver: the round's deduped triples are checkpointed once, the
+        colliding keys (already present in the store — a triple
+        re-extracted from another page) are found with a broadcast
+        semi-join against the store, fresh keys APPEND (no shuffle, no
+        re-aggregation of the store), and only collisions take the
+        broadcast merge join. The edge view gains the fresh rows'
+        edges as a distributed projection (_ends_of)."""
         key = ["subject", "predicate", "object_kind", "object_value",
                "object_datatype", "object_language"]
-        new_triples = quads.groupBy(*key).agg(
-            F.sort_array(F.collect_set("source")).alias("sources"))
-        nrows = new_triples.collect()  # one job, O(round's new keys)
-        fresh_rows: list[tuple] = []
-        coll_rows: list[tuple] = []
-        edge_rows: list[tuple] = []
-        for r in nrows:
-            k = tuple(r[c] for c in key)
-            nk = k[:4] + (k[4] or "", k[5] or "")
-            self._tkey_sources.setdefault(nk, set()).update(r["sources"])
-            if k in self._triple_keys:
-                coll_rows.append(k + (r["sources"],))
-            else:
-                self._triple_keys.add(k)
-                fresh_rows.append(k + (r["sources"],))
-                edge_rows.extend(_edge_rows_for_key(k))
-        if fresh_rows:
-            self.triples = self.triples.unionByName(
-                self.spark.createDataFrame(fresh_rows, schemas.TRIPLES))
-        if coll_rows:
-            upd = (self.spark.createDataFrame(coll_rows, schemas.TRIPLES)
-                   .withColumnRenamed("sources", "new_sources"))
+        nt = quads.groupBy(*key).agg(
+            F.sort_array(F.collect_set("source")).alias("sources")
+        ).localCheckpoint(eager=True)  # one job, O(round's new keys)
+
+        def nullsafe_cond(left, right):
             cond = None
             for c in key:
-                e = self.triples[c].eqNullSafe(upd[c])
+                e = left[c].eqNullSafe(right[c])
                 cond = e if cond is None else (cond & e)
+            return cond
+
+        nt_keys = nt.select(*key)
+        coll_keys = self.triples.select(*key).join(
+            F.broadcast(nt_keys), nullsafe_cond(self.triples, nt_keys),
+            "left_semi"
+        ).localCheckpoint(eager=True)  # the MERGE target scan
+        n_coll = coll_keys.count()
+        if n_coll:
+            upd = nt.join(
+                F.broadcast(coll_keys), nullsafe_cond(nt, coll_keys),
+                "left_semi"
+            ).withColumnRenamed("sources", "new_sources")
+            cond = nullsafe_cond(self.triples, upd)
             self.triples = (
                 self.triples.join(F.broadcast(upd), cond, "left")
                 .select(
@@ -907,9 +986,12 @@ class CrawlEngine:
                     .otherwise(self.triples["sources"]).alias("sources"))
             )
             self._triples_dirty = True
-        if edge_rows:
-            self.ends = self.ends.unionByName(
-                self.spark.createDataFrame(edge_rows, _ENDS_SCHEMA))
+        fresh = nt.join(
+            F.broadcast(coll_keys), nullsafe_cond(nt, coll_keys),
+            "left_anti")
+        self.triples = self.triples.unionByName(fresh)
+        self.ends = self.ends.unionByName(self._ends_of(fresh))
+        self._store_nonempty = True
 
     def _discover_urls(self, quads: DataFrame) -> None:
         """New-URL discovery (Resource.addFromTriples,
@@ -924,13 +1006,23 @@ class CrawlEngine:
             .filter(F.col("url").isNotNull())
             .select("url").distinct()
         )
-        self._insert_new_urls(nodes)
+        self._insert_new_urls(nodes, use_bloom=True)
 
-    def _insert_new_urls(self, urls: DataFrame) -> int:
+    def _insert_new_urls(self, urls: DataFrame,
+                         use_bloom: bool = False) -> int:
         """Insert previously-unseen URLs into the seen-set; returns the
         number inserted. The anti-join is the scale path; the Bloom
-        pre-pass routes definitely-new URLs around it."""
-        if self.cfg.use_bloom and self._bloom is not None:
+        pre-pass (``use_bloom`` — the once-per-round discovery call,
+        where the probe side is big) routes definitely-new URLs around
+        it. Wave/seed calls skip it: their probes are small and the
+        plain anti-join against the resources table (which includes all
+        of this round's earlier unions) stays exact without paying a
+        Bloom broadcast per call. Bloom maintenance is batched: new
+        batches queue in ``_pending_bloom`` and fold into the filter
+        executor-side (partial union) once per checkpoint, so the
+        filter is always fresh w.r.t. every PREVIOUS round — exactly
+        what the pre-pass's correctness needs."""
+        if use_bloom and self.cfg.use_bloom and self._bloom is not None:
             if self._bloom_bc is None:
                 self._bloom_bc = self.spark.sparkContext.broadcast(
                     self._bloom)
@@ -944,42 +1036,57 @@ class CrawlEngine:
                 self.resources.select("url"), "url", "left_anti")
         new_res = new_urls.withColumn(
             "origin", udfs.url_origin(F.col("url"))
-        ).select("url", "origin", F.lit("unvisited").alias("status"))
-        # one job: the collected rows feed the Bloom filter + driver
-        # mirrors anyway, so rebuild the insert batch locally instead of
-        # paying a second materialization
-        rows = new_res.collect()
-        if not rows:
+        ).select("url", "origin", F.lit("unvisited").alias("status"),
+                 F.lit(None).cast("int").alias("crawl_round"),
+                 F.lit(None).cast("int").alias("crawl_counter"))
+        # fast path: one job tells us whether anything is new (the
+        # common wave case is an empty insert); only a non-empty batch
+        # pays the checkpoint materialization
+        org_rows = new_res.groupBy("origin").agg(
+            F.count(F.lit(1)).alias("n")).collect()  # dimension-sized
+        n = sum(r["n"] for r in org_rows)
+        if n == 0:
             return 0
-        self.resources = self.resources.unionByName(
-            self.spark.createDataFrame(
-                [(r["url"], r["origin"], r["status"]) for r in rows],
-                schemas.RESOURCES))
-        self._seen_urls.update(r["url"] for r in rows)
+        new_res = new_res.localCheckpoint(eager=True)
+        self.resources = self.resources.unionByName(new_res)
+        self._pending_bloom.append(new_res)
         new_origins = sorted(
-            {r["origin"] for r in rows} - self._known_origins)
+            {r["origin"] for r in org_rows} - self._known_origins)
         if new_origins:
             self.domains = self.domains.unionByName(
                 self.spark.createDataFrame(
                     [(o, "unvisited", None, "",
-                      self.cfg.default_crawl_delay, 0)
+                      self.cfg.default_crawl_delay, 0, {}, [])
                      for o in new_origins], schemas.DOMAINS))
             self._known_origins.update(new_origins)
             self._unvisited_domains += len(new_origins)
-        if self._bloom is not None:
-            for row in rows:
-                self._bloom.add(row["url"])
-            self._bloom_bc = None  # invalidate the cached broadcast
-        return len(rows)
+        return n
+
+    def _flush_bloom(self) -> None:
+        """Fold the checkpoint window's new-URL batches into the Bloom
+        filter: per-partition partial filters, bitwise tree union —
+        the driver only ever holds the fixed-size bit array."""
+        if self._bloom is None or not self._pending_bloom:
+            self._pending_bloom = []
+            return
+        batch = self._pending_bloom[0]
+        for extra in self._pending_bloom[1:]:
+            batch = batch.unionByName(extra)
+        self._bloom = self._bloom.union(bloom_from_dataframe(
+            batch, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp))
+        self._bloom_bc = None  # invalidate the cached broadcast
+        self._pending_bloom = []
 
     # ------------------------------------------------------------------
     # path extension (TraversalPath.ts:219-399 as joins/windows)
     # ------------------------------------------------------------------
-    def _triple_ends(self) -> DataFrame:
-        """Explode triples into (end, direction) rows: the equi-join
-        surface for path extension (SURVEY §2.3 core join — nodes[]
-        array membership becomes an exploded edge view)."""
-        t = self.triples.withColumn("node_key0", _object_key_col())
+    def _ends_of(self, triples: DataFrame) -> DataFrame:
+        """Explode a triples-shaped DataFrame into (end, direction)
+        rows: the equi-join surface for path extension (SURVEY §2.3
+        core join — nodes[] array membership becomes an exploded edge
+        view). Applied to the whole store at resume and to each round's
+        fresh rows incrementally."""
+        t = triples.withColumn("node_key0", _object_key_col())
         fwd = t.select(
             F.col("subject").alias("end"),
             F.lit(0).alias("dir_rank"),
@@ -1148,6 +1255,7 @@ class CrawlEngine:
         seq assigned by (distance, head) order; literal candidates are
         deduped per wave. Parents producing >=1 candidate are deleted."""
         total = 0
+        proc_keys: DataFrame | None = None
         parents = _semi_filter(
             self.spark,
             self.paths.filter(
@@ -1164,11 +1272,6 @@ class CrawlEngine:
                 F.countDistinct("okey").alias("bf_obj"),
             ).withColumnRenamed("predicate", "pred")
         lims = self.cfg.pred_limitations
-        known_heads = {
-            r["head_url"] for r in self.paths.filter(
-                F.col("head_kind") == "url")
-            .select("head_url").distinct().collect()
-        }
         guard = 0
         while guard < 100:
             guard += 1
@@ -1306,63 +1409,80 @@ class CrawlEngine:
                         "t_dt", "t_lang"]
                 uri = uri.select(keep).unionByName(out_uri.select(keep))
                 lit = lit.select(keep).unionByName(out_lit.select(keep))
-            # ONE collect per candidate class; per-head grouping,
-            # ext-seq tracking, and the processTriples ledger all run
-            # on the collected rows (wave volume is round-bounded; the
-            # previous formulation spent ~8 Spark jobs per wave on
-            # checkpoints + per-aspect collects of the same rows)
+            # fully distributed from here: the wave's candidate classes
+            # are checkpointed once (flat plans for their 3-4 consumers)
+            # and per-head grouping / min-merge / seq assignment run as
+            # DataFrame aggregations — no candidate row ever reaches
+            # the driver (a mega-wave's endpoint grouping scales with
+            # executors, not driver memory)
             ccols = ["parent_seq", "pred", "add", "p_length", "p_seeds",
                      "node_c", "node_key", "t_dir", "t_end", "t_raw",
                      "t_kind", "t_dt", "t_lang"]
-            uri_rows = uri.select(*ccols).collect()
-            lit_rows_raw = lit.select(*ccols).collect()
-            ext_seqs = sorted(
-                {int(r["parent_seq"]) for r in uri_rows}
-                | {int(r["parent_seq"]) for r in lit_rows_raw})
+            uri = uri.select(*ccols).localCheckpoint(eager=True)
+            lit = lit.select(*ccols).localCheckpoint(eager=True)
             # processTriples ledger: every triple behind a surviving URI
             # candidate (incl. blank-chain outgoings); literal
             # candidates only for DIRECT rdfs:label/comment (add=1) —
             # blank-chained label literals are not recorded (oracle
             # _endpoint_blank_chain vs _extend_round_endpoint)
-            for r in uri_rows:
-                self._record_proc_triple(_edge_tkey(
-                    r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
-                    r["t_raw"], r["t_dt"], r["t_lang"]))
-            for r in lit_rows_raw:
-                if r["add"] == 1 and r["pred"] in LABEL_PREDICATES:
-                    self._record_proc_triple(_edge_tkey(
-                        r["t_dir"], r["t_end"], r["pred"], r["t_kind"],
-                        r["t_raw"], r["t_dt"], r["t_lang"]))
+            def tkey_proj(df):
+                return df.select(
+                    F.when(F.col("t_dir") == 0, F.col("t_end"))
+                     .otherwise(F.col("t_raw")).alias("subject"),
+                    F.col("pred").alias("predicate"),
+                    F.when(F.col("t_dir") == 0, F.col("t_kind"))
+                     .otherwise(F.lit("uri")).alias("object_kind"),
+                    F.when(F.col("t_dir") == 0, F.col("t_raw"))
+                     .otherwise(F.col("t_end")).alias("object_value"),
+                    F.when(F.col("t_dir") == 0,
+                           F.coalesce(F.col("t_dt"), F.lit("")))
+                     .otherwise(F.lit("")).alias("object_datatype"),
+                    F.when(F.col("t_dir") == 0,
+                           F.coalesce(F.col("t_lang"), F.lit("")))
+                     .otherwise(F.lit("")).alias("object_language"),
+                )
 
-            def grouped(rows, key_field):
+            label_list = sorted(LABEL_PREDICATES)
+            lk = tkey_proj(uri).unionByName(tkey_proj(
+                lit.filter((F.col("add") == 1)
+                           & F.col("pred").isin(label_list))))
+            proc_keys = lk if proc_keys is None \
+                else proc_keys.unionByName(lk)
+
+            def ginfo(df, key_col):
                 # dist = min(p_length + add); seed map = per-seed min
-                info: dict[str, dict] = {}
-                for r in rows:
-                    gkey = r[key_field]
-                    c = info.setdefault(gkey, {"dist": None, "seeds": {}})
-                    d = int(r["p_length"]) + int(r["add"])
-                    c["dist"] = d if c["dist"] is None else min(c["dist"], d)
-                    for s, m in (r["p_seeds"] or {}).items():
-                        v = int(m) + int(r["add"])
-                        c["seeds"][s] = min(c["seeds"].get(s, v), v)
-                return info
+                # (the oracle's grouped() as two aggregations)
+                base = df.select(
+                    F.col(key_col).alias("gkey"),
+                    (F.col("p_length") + F.col("add")).cast("int")
+                    .alias("d"),
+                    "add", "p_seeds")
+                dists = base.groupBy("gkey").agg(F.min("d").alias("dist"))
+                seeds = (
+                    base.select("gkey", "add", F.explode("p_seeds"))
+                    .groupBy("gkey", "key")
+                    .agg(F.min(F.col("value") + F.col("add"))
+                         .cast("int").alias("mv")))
+                maps = seeds.groupBy("gkey").agg(
+                    F.map_from_entries(F.sort_array(F.collect_list(
+                        F.struct("key", "mv")))).alias("new_map"))
+                return dists.join(maps, "gkey", "left").withColumn(
+                    "new_map",
+                    F.coalesce("new_map",
+                               F.expr("cast(map() as map<string,int>)")))
 
-            url_info = grouped(uri_rows, "node_c")
-            lit_info = grouped(lit_rows_raw, "node_key")
-            url_rows = [
-                {"gkey": k, "dist": v["dist"], "new_map": v["seeds"]}
-                for k, v in url_info.items()]
-            lit_rows = sorted(
-                ({"gkey": k, "dist": v["dist"], "new_map": v["seeds"]}
-                 for k, v in lit_info.items()),
-                key=lambda r: r["gkey"])
-            if not url_rows and not lit_rows:
+            url_info = ginfo(uri, "node_c").localCheckpoint(eager=True)
+            lit_info = ginfo(lit, "node_key").localCheckpoint(eager=True)
+            n_url_heads = url_info.count()
+            n_lit_heads = lit_info.count()
+            if n_url_heads == 0 and n_lit_heads == 0:
                 break
-            # min-merge into existing endpoint paths (map_zip_with)
-            upd_df = self.spark.createDataFrame(
-                [(r["gkey"], int(r["dist"]), r["new_map"])
-                 for r in url_rows],
-                "head_url string, new_dist int, new_map map<string,int>")
+            # min-merge into existing endpoint paths (map_zip_with).
+            # broadcast is right for round-bounded waves; at mega-wave
+            # scale AQE would pick a shuffle join on head_url instead
+            upd_df = url_info.select(
+                F.col("gkey").alias("head_url"),
+                F.col("dist").alias("new_dist"), "new_map")
             upd = self.paths.join(F.broadcast(upd_df), "head_url", "left")
             merged_map = F.map_from_entries(F.sort_array(F.map_entries(
                 F.map_zip_with(
@@ -1378,49 +1498,71 @@ class CrawlEngine:
                 F.when(F.col("new_map").isNotNull(), merged_map)
                 .otherwise(F.col("seed_paths")).alias("seed_paths"),
             )
-            # new paths for unseen heads, seq ordered by (dist, head);
-            # the head set is collected once per cascade and maintained
-            # driver-side (merging never adds heads, only creation does)
-            new_url = sorted(
-                (r for r in url_rows if r["gkey"] not in known_heads),
-                key=lambda r: (r["dist"], r["gkey"]))
-            new_rows = []
-            for r in new_url:
-                known_heads.add(r["gkey"])
-                new_rows.append(
-                    ("", r["gkey"], "url", r["gkey"], [], [],
-                     int(r["dist"]), "active", rnd, self.seq_counter,
-                     dict(r["new_map"])))
-                self.seq_counter += 1
-            for r in lit_rows:
-                new_rows.append(
-                    ("", None, "literal", r["gkey"], [], [],
-                     int(r["dist"]), "active", rnd, self.seq_counter,
-                     dict(r["new_map"])))
-                self.seq_counter += 1
-            if ext_seqs:
-                ext_df = self.spark.createDataFrame(
-                    [(x, True) for x in ext_seqs],
-                    "seq long, was_extended boolean")
-                self.paths = (
-                    self.paths.join(F.broadcast(ext_df), "seq", "left")
-                    .withColumn(
-                        "status",
-                        F.when(F.col("was_extended"), F.lit("deleted"))
-                        .otherwise(F.col("status")))
-                    .drop("was_extended"))
-            if new_rows:
-                self.paths = self.paths.unionByName(
-                    self.spark.createDataFrame(new_rows, schemas.PATHS))
-            total += len(new_rows)
-            # register unseen heads; next wave = new heads already done
-            missing = [r["gkey"] for r in new_url
-                       if r["gkey"] not in self._seen_urls]
-            if missing:
-                self._insert_new_urls(self.spark.createDataFrame(
-                    [(u,) for u in missing], "url string"))
-            next_heads = [r["gkey"] for r in new_url
-                          if r["gkey"] in self._done_urls]
+            # parents producing >=1 candidate are deleted
+            ext_df = (uri.select("parent_seq")
+                      .unionByName(lit.select("parent_seq"))
+                      .distinct()
+                      .withColumnRenamed("parent_seq", "seq")
+                      .withColumn("was_extended", F.lit(True)))
+            self.paths = (
+                self.paths.join(F.broadcast(ext_df), "seq", "left")
+                .withColumn(
+                    "status",
+                    F.when(F.col("was_extended"), F.lit("deleted"))
+                    .otherwise(F.col("status")))
+                .drop("was_extended"))
+            # new paths for unseen heads: anti-join against the current
+            # head set; seq by (dist, head) order for urls, then (head)
+            # for literals — deterministic parallel rank either way
+            known = (self.paths.filter(F.col("head_kind") == "url")
+                     .select(F.col("head_url").alias("gkey")).distinct())
+            new_url_df = url_info.join(known, "gkey", "left_anti") \
+                .localCheckpoint(eager=True)
+            n_new = new_url_df.count()
+
+            def path_rows(df, kind):
+                return df.select(
+                    F.lit("").alias("seed"),
+                    (F.col("gkey") if kind == "url"
+                     else F.lit(None).cast("string")).alias("head_url"),
+                    F.lit(kind).alias("head_kind"),
+                    F.col("gkey").alias("head_key"),
+                    F.expr("cast(array() as array<string>)")
+                    .alias("nodes"),
+                    F.expr("cast(array() as array<string>)")
+                    .alias("predicates"),
+                    F.col("dist").cast("int").alias("length"),
+                    F.lit("active").alias("status"),
+                    F.lit(rnd).cast("int").alias("created_round"),
+                    F.col("seq"),
+                    F.col("new_map").alias("seed_paths"))
+
+            new_paths = None
+            if n_new:
+                new_paths = path_rows(self._assign_wave_seq(
+                    new_url_df, ["dist", "gkey"], n_new), "url")
+                self.seq_counter += n_new
+            if n_lit_heads:
+                lits = path_rows(self._assign_wave_seq(
+                    lit_info, ["gkey"], n_lit_heads), "literal")
+                new_paths = lits if new_paths is None \
+                    else new_paths.unionByName(lits)
+                self.seq_counter += n_lit_heads
+            if new_paths is not None:
+                self.paths = self.paths.unionByName(new_paths)
+            total += n_new + n_lit_heads
+            # register unseen heads (anti-join dedup inside); next wave
+            # = new heads whose resource is already done — a semi-join
+            # probe against the resources table, not a driver mirror
+            next_heads: list[str] = []
+            if n_new:
+                heads_df = new_url_df.select(F.col("gkey").alias("url"))
+                self._insert_new_urls(heads_df)
+                next_heads = sorted(
+                    r["url"] for r in heads_df.join(
+                        self.resources.filter(
+                            F.col("status") == "done").select("url"),
+                        "url", "left_semi").collect())
             if not next_heads:
                 break
             self.paths = self.paths.localCheckpoint(eager=True)
@@ -1430,6 +1572,8 @@ class CrawlEngine:
                     (F.col("status") == "active")
                     & (F.col("head_kind") == "url")),
                 "head_url", next_heads)
+        if proc_keys is not None:
+            self._ledger_commit(proc_keys)
         return total
 
     def _extend(self, rnd: int, fetched_done: list[str]) -> int:
@@ -1460,91 +1604,105 @@ class CrawlEngine:
                 F.countDistinct("okey").alias("bf_obj"),
             ).withColumnRenamed("predicate", "pred")
         all_children: list[DataFrame] = []
-        extended_seqs: set[int] = set()
+        ext_seq_dfs: list[DataFrame] = []
+        proc_keys: DataFrame | None = None
+        label_list = sorted(LABEL_PREDICATES)
+        done_res = self.resources.filter(
+            F.col("status") == "done").select(
+            F.col("url").alias("head_url"))
         guard = 0
-        # wave-size hint for the seq-rank strategy: heads × a generous
-        # per-head branching allowance (over-estimating only switches to
-        # the parallel rank earlier; output is identical either way)
-        self._wave_size_hint = len(fetched_done) * 128
         while guard < 100:
             guard += 1
-            children = self._extend_wave(rnd, parents, ends, bf)
-            # cache + collect is ONE job: the collect materializes the
-            # cached wave result, which the next wave / final union then
-            # reuse; the round-end checkpoint truncates lineage and the
-            # caches are dropped after it
-            children.cache()
-            self._wave_caches.append(children)
-            child_rows = children.select(
-                "head_kind", "head_url", "parent_seq",
-                "t_pred", "t_dir", "t_end", "t_raw", "t_kind",
-                "t_dt", "t_lang").collect()
-            n = len(child_rows)
+            cand = self._extend_wave(rnd, parents, ends, bf)
+            cand.cache()
+            self._wave_caches.append(cand)
+            # the count both materializes the cache and picks the seq
+            # strategy from the EXACT wave size (a heads×branching hint
+            # underestimates hub pages and would funnel a huge wave
+            # through the single-partition window)
+            n = cand.count()
             if n == 0:
                 break
+            # eager checkpoint (not cache): the children feed FOUR
+            # consumers (ledger keys, extended-seq marking, the frontier
+            # union, next-wave parents) — with a cache, each consumer's
+            # LOGICAL plan still embeds the whole cascade chain and the
+            # round-end paths plan grows quadratically in waves (large
+            # crawls OOM the planner's tree-string alone); the
+            # checkpoint truncates every downstream plan to one node
+            children = self._finish_children(rnd, cand, n) \
+                .localCheckpoint(eager=True)
             # processTriples ledger (insertProcTriples,
             # process-paths.ts:874-887): every triple that extended a
             # path; literal children only for rdfs:label/comment
-            # (Manager.ts:418-448 / oracle _extend_parent)
-            for r in child_rows:
-                if (r["head_kind"] != "literal"
-                        or r["t_pred"] in LABEL_PREDICATES):
-                    self._record_proc_triple(_edge_tkey(
-                        r["t_dir"], r["t_end"], r["t_pred"],
-                        r["t_kind"], r["t_raw"], r["t_dt"], r["t_lang"]))
+            # (Manager.ts:418-448 / oracle _extend_parent). Accumulated
+            # as a distributed key projection, resolved at cascade end.
+            lk = children.filter(
+                (F.col("head_kind") != "literal")
+                | F.col("t_pred").isin(label_list)
+            ).select(
+                F.when(F.col("t_dir") == 0, F.col("t_end"))
+                 .otherwise(F.col("t_raw")).alias("subject"),
+                F.col("t_pred").alias("predicate"),
+                F.when(F.col("t_dir") == 0, F.col("t_kind"))
+                 .otherwise(F.lit("uri")).alias("object_kind"),
+                F.when(F.col("t_dir") == 0, F.col("t_raw"))
+                 .otherwise(F.col("t_end")).alias("object_value"),
+                F.when(F.col("t_dir") == 0,
+                       F.coalesce(F.col("t_dt"), F.lit("")))
+                 .otherwise(F.lit("")).alias("object_datatype"),
+                F.when(F.col("t_dir") == 0,
+                       F.coalesce(F.col("t_lang"), F.lit("")))
+                 .otherwise(F.lit("")).alias("object_language"),
+            )
+            proc_keys = lk if proc_keys is None \
+                else proc_keys.unionByName(lk)
             total_children += n
             self.seq_counter += n
             all_children.append(children)
-            extended_seqs.update(int(r["parent_seq"]) for r in child_rows)
-            # register unseen child heads as resources
-            #   (oracle `_add_resource` during extension — normally a
-            #   no-op because discovery already registered every triple
-            #   node; the driver's exact seen/done mirrors decide the
-            #   wave without a probe job)
-            url_heads = sorted({
-                r["head_url"] for r in child_rows if r["head_kind"] == "url"
-            })
-            done_heads: list[str] = []
-            if url_heads:
-                missing = [u for u in url_heads
-                           if u not in self._seen_urls]
-                if missing:
-                    miss_df = self.spark.createDataFrame(
-                        [(u,) for u in missing], "url string")
-                    self._insert_new_urls(miss_df)
-                done_heads = [u for u in url_heads
-                              if u in self._done_urls]
+            ext_seq_dfs.append(children.select("parent_seq"))
+            # register unseen child heads as resources (oracle
+            # `_add_resource` during extension — the anti-join inside
+            # _insert_new_urls dedups against the seen-set table)
+            url_heads = children.filter(
+                F.col("head_kind") == "url").select(
+                F.col("head_url")).distinct()
+            self._insert_new_urls(
+                url_heads.withColumnRenamed("head_url", "url"))
             # next wave: blank heads chain immediately; url heads whose
-            # resource is already done re-extend against the store
-            blank_heads = [
-                r["head_url"] for r in child_rows if r["head_kind"] == "blank"
-            ]
-            next_heads = sorted(set(blank_heads) | set(done_heads))
+            # resource is already done re-extend against the store.
+            # Only the DONE/blank head lists reach the driver — both
+            # stay small (already-fetched or blank nodes), unlike the
+            # wave's full child set — and they come from ONE probe job.
+            probe = (
+                url_heads.join(done_res, "head_url", "left_semi")
+                .unionByName(
+                    children.filter(F.col("head_kind") == "blank")
+                    .select("head_url").distinct())
+            )
+            next_heads = sorted(
+                {r["head_url"] for r in probe.collect()})
             if not next_heads:
                 break
-            self._wave_size_hint = len(next_heads) * 128
             parents = _semi_filter(
                 self.spark, children, "head_url", next_heads)
         if total_children:
-            seqs = sorted(extended_seqs)
-            if len(seqs) <= 64:
-                def mark_deleted(df):
-                    return df.withColumn(
+            ext_df = ext_seq_dfs[0]
+            for extra in ext_seq_dfs[1:]:
+                ext_df = ext_df.unionByName(extra)
+            ext_df = ext_df.distinct().withColumnRenamed(
+                "parent_seq", "seq").withColumn(
+                "was_extended", F.lit(True))
+
+            def mark_deleted(df):
+                return (
+                    df.join(F.broadcast(ext_df), "seq", "left")
+                    .withColumn(
                         "status",
-                        F.when(F.col("seq").isin(seqs), F.lit("deleted"))
+                        F.when(F.col("was_extended"), F.lit("deleted"))
                         .otherwise(F.col("status")))
-            else:
-                ext_df = self.spark.createDataFrame(
-                    [(x, True) for x in seqs],
-                    "seq long, was_extended boolean")
-                def mark_deleted(df):
-                    return (
-                        df.join(F.broadcast(ext_df), "seq", "left")
-                        .withColumn(
-                            "status",
-                            F.when(F.col("was_extended"), F.lit("deleted"))
-                            .otherwise(F.col("status")))
-                        .drop("was_extended"))
+                    .drop("was_extended"))
+
             cols = ["seed", "head_url", "head_kind", "head_key", "nodes",
                     "predicates", "length", "status", "created_round", "seq",
                     "seed_paths"]
@@ -1555,6 +1713,7 @@ class CrawlEngine:
             # already deleted, so the marking applies to them too
             self.paths = mark_deleted(self.paths).unionByName(
                 mark_deleted(new_paths))
+            self._ledger_commit(proc_keys)
         return total_children
 
     #: wave-size ceiling for the single-window seq path; above it the
@@ -1562,18 +1721,19 @@ class CrawlEngine:
     #: set to 0 in tests to force the scale path)
     seq_rank_threshold: int = 50_000
 
-    def _assign_wave_seq(self, cand: DataFrame,
-                         key_cols: list[str]) -> DataFrame:
+    def _assign_wave_seq(self, cand: DataFrame, key_cols: list[str],
+                         n: int) -> DataFrame:
         """Dense deterministic seq = seq_counter + rank under the wave
         order. A bare ``Window.orderBy`` funnels every wave child
         through ONE task — fine for bounded waves, a non-starter when a
         10^10-scale round produces tens of millions of children. Above
-        ``seq_rank_threshold`` (estimated from the wave's parent count)
-        the rank is computed in two phases instead: range-repartition
+        ``seq_rank_threshold`` (``n`` is the wave's EXACT child count,
+        known because the caller counts the cached candidate set) the
+        rank is computed in two phases instead: range-repartition
         by the sort key, count per partition (one lightweight job),
         then per-partition ``row_number`` + broadcast prefix offsets —
         identical output, fully parallel."""
-        if self._wave_size_hint <= self.seq_rank_threshold:
+        if n <= self.seq_rank_threshold:
             sw = Window.orderBy(*key_cols)
             return cand.withColumn(
                 "seq",
@@ -1646,7 +1806,7 @@ class CrawlEngine:
                    F.col("predicates"))
             .otherwise(F.concat("predicates", F.array(F.col("pred")))),
         ).filter(F.size("new_predicates") <= self.cfg.max_path_props)
-        # resolve node per kind (node_c pre-canonicalized in _triple_ends)
+        # resolve node per kind (node_c pre-canonicalized in _ends_of)
         allow_blank = self.cfg.allow_blank_nodes
         uri_ok = (F.col("node_kind") == "uri") & F.col("node_c").isNotNull() \
             & ~F.array_contains("nodes", F.col("node_c")) \
@@ -1654,12 +1814,17 @@ class CrawlEngine:
         blank_ok = (F.col("node_kind") == "blank") & F.lit(allow_blank) \
             & ~F.array_contains("nodes", F.col("node_c"))
         lit_ok = F.col("node_kind") == "literal"
-        cand = cand.filter(uri_ok | blank_ok | lit_ok)
-        # deterministic seq: the oracle's wave order =
-        # (parent priority, predicate, node_key)
+        return cand.filter(uri_ok | blank_ok | lit_ok)
+
+    def _finish_children(self, rnd: int, cand: DataFrame,
+                         n: int) -> DataFrame:
+        """Assign the deterministic wave seq (the oracle's wave order =
+        parent priority, predicate, node_key) and project the final
+        child-path rows."""
+        lit_ok = F.col("node_kind") == "literal"
         cand = self._assign_wave_seq(
             cand, ["p_length", "p_created", "parent_seq", "pred",
-                   "node_key"])
+                   "node_key"], n)
         return cand.select(
             "parent_seq",
             F.col("seed"),
@@ -1727,9 +1892,11 @@ class CrawlEngine:
                 _t1 = _time.time()
                 trace, quads = self._phase_fetch(rnd, sched_rows)
                 _t["fetch_s"] = round(_time.time() - _t1, 2)
-                self._trace_rows.extend(trace)
-                self._done_urls.update(
-                    t[2] for t in trace if t[4] == "done")
+                # append-only trace table: the round's rows (schedule-
+                # bounded) join the distributed trace; the accumulated
+                # trace never lives on the driver
+                self._trace_df = self._trace_df.unionByName(
+                    self.spark.createDataFrame(trace, schemas.TRACE))
                 # politeness charge: attempted fetches bump next_allowed
                 # (oracle: next_allowed = rnd + crawl_delay per access)
                 charged = sorted({
@@ -1747,17 +1914,41 @@ class CrawlEngine:
                                    F.lit(rnd) + F.col("crawl_delay"))
                             .otherwise(F.col("next_allowed")).cast("int"))
                         .drop("charged"))
-                # resource status updates
+                # resource status updates + crawlId stamps
+                # (Resource.ts:35-41 / Worker.ts:395-413: every
+                # scheduled resource consumes a per-domain counter
+                # BEFORE the robots gate; domainTs ≡ the round) and
+                # per-domain warning increments (Resource.ts:232-266).
+                # All driver rows here are schedule-bounded.
+                res_rows: list[tuple] = []
+                warn_by_origin: dict[str, list[str]] = {}
+                crawl_counters: dict[str, int] = {}
+                for t in trace:  # already in rseq order
+                    _, _, url, origin, status = t
+                    c = crawl_counters.get(origin, 0)
+                    crawl_counters[origin] = c + 1
+                    res_rows.append(
+                        (url, "done" if status == "done" else "error",
+                         rnd, c))
+                    et = WARN_BY_STATUS.get(status)
+                    if et:
+                        warn_by_origin.setdefault(origin, []).append(et)
                 res_up = self.spark.createDataFrame(
-                    [(t[2], "done" if t[4] == "done" else "error")
-                     for t in trace],
-                    "url string, new_status string")
+                    res_rows,
+                    "url string, new_status string, new_cr int, new_cc int")
                 self.resources = (
                     self.resources.join(F.broadcast(res_up), "url", "left")
                     .withColumn("status",
                                 F.coalesce("new_status", "status"))
-                    .drop("new_status")
+                    .withColumn("crawl_round",
+                                F.coalesce("new_cr", "crawl_round"))
+                    .withColumn("crawl_counter",
+                                F.coalesce("new_cc", "crawl_counter"))
+                    .drop("new_status", "new_cr", "new_cc")
                 )
+                self._merge_domain_warnings([
+                    (o, {k: lst.count(k) for k in dict.fromkeys(lst)}, lst)
+                    for o, lst in warn_by_origin.items()])
                 _t1 = _time.time()
                 if quads is not None:
                     quads.cache()

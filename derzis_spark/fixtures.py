@@ -257,7 +257,6 @@ def generate_fixture(
                     else _redirect_page_html("", alt_urls[d + 1]))
                 fx.text.append("")
                 fx.lang.append("")
-        url_set = set(fx.urls)
 
     # robots per origin
     for i, origin in enumerate(origins):

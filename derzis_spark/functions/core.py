@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 from urllib.parse import urlsplit, quote, unquote
 
 # --------------------------------------------------------------------------
@@ -406,21 +407,28 @@ def parse_robots(robots_txt: str | None, user_agent: str) -> RobotsRules:
     return RobotsRules(tuple(g["allow"]), tuple(g["disallow"]), g["delay"])
 
 
+@lru_cache(maxsize=8192)
+def _rule_regex(rule: str):
+    """Compiled matcher for one allow/disallow rule (cached — robots
+    rules repeat across every URL of a domain)."""
+    anchored = rule.endswith("$")
+    pattern = rule[:-1] if anchored else rule
+    regex = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return re.compile("^" + regex + ("$" if anchored else ""))
+
+
 def _rule_matches(rule: str, path: str) -> int:
     """Return match length if ``rule`` matches ``path`` else -1.
 
     Supports ``*`` wildcards and ``$`` end anchor (Google extension,
     supported by the robots-parser lib)."""
-    anchored = rule.endswith("$")
-    pattern = rule[:-1] if anchored else rule
-    regex = ".*".join(re.escape(part) for part in pattern.split("*"))
-    regex = "^" + regex + ("$" if anchored else "")
-    return len(rule) if re.match(regex, path) else -1
+    return len(rule) if _rule_regex(rule).match(path) else -1
 
 
-def robots_allows(robots_txt: str | None, url: str, user_agent: str) -> bool:
-    """Longest-match allow/disallow decision; allow wins ties."""
-    rules = parse_robots(robots_txt, user_agent)
+def robots_allows_rules(rules: RobotsRules, url: str) -> bool:
+    """Longest-match allow/disallow decision against PRE-PARSED rules;
+    allow wins ties. Split from ``robots_allows`` so batch callers
+    parse each distinct robots.txt once."""
     parts = urlsplit(url)
     path = parts.path or "/"
     if parts.query:
@@ -432,6 +440,11 @@ def robots_allows(robots_txt: str | None, url: str, user_agent: str) -> bool:
     if best_allow >= best_dis:
         return True
     return False
+
+
+def robots_allows(robots_txt: str | None, url: str, user_agent: str) -> bool:
+    """Longest-match allow/disallow decision; allow wins ties."""
+    return robots_allows_rules(parse_robots(robots_txt, user_agent), url)
 
 
 def robots_crawl_delay(robots_txt: str | None, user_agent: str) -> float | None:

@@ -104,13 +104,23 @@ def make_page_stats(allow_blank_nodes: bool = False):
 def make_robots_allows(user_agent: str):
     @pandas_udf(BooleanType())
     def robots_allows(robots_txt: pd.Series, url: pd.Series) -> pd.Series:
-        df = pd.DataFrame({"r": robots_txt, "u": url})
-        return df.apply(
-            lambda row: core.robots_allows(
-                row["r"] if isinstance(row["r"], str) else None,
-                row["u"], user_agent),
-            axis=1,
-        )
+        # parse each DISTINCT robots.txt once per batch (domains are far
+        # fewer than URLs), then decide per group against the pre-parsed
+        # rules — no per-row DataFrame.apply
+        txts = robots_txt.map(
+            lambda v: v if isinstance(v, str) else None)
+        codes, uniques = pd.factorize(txts, use_na_sentinel=True)
+        out = pd.Series(True, index=robots_txt.index, dtype=bool)
+        codes = pd.Series(codes, index=robots_txt.index)
+        for gi in range(-1, len(uniques)):
+            mask = codes == gi
+            if not mask.any():
+                continue
+            rules = core.parse_robots(
+                None if gi < 0 else uniques[gi], user_agent)
+            out[mask] = [
+                core.robots_allows_rules(rules, u) for u in url[mask]]
+        return out
     return robots_allows
 
 

@@ -35,6 +35,63 @@ from derzis_spark.functions import udfs
 RDFS_LABEL, RDFS_COMMENT = LABEL_PREDICATES
 
 
+def upsert_labels(labels: DataFrame, incoming: DataFrame) -> DataFrame:
+    """ResourceLabel.upsertMany (models/src/ResourceLabel.ts:45-128):
+
+    - incoming rows are deduped by (pid, url), LAST occurrence wins
+      (the reference's Map overwrite) — ``arrival_seq`` carries the
+      array order;
+    - unseen (pid, url) insert with status 'new';
+    - existing rows with status 'done' are preserved untouched;
+    - existing 'new'/'error' rows take the incoming domain and upgrade
+      ``source`` web→cardea and ``extend`` false→true (never the
+      reverse, ResourceLabel.ts:108-115).
+
+    ``labels``: (pid, url, domain, source, extend, status);
+    ``incoming``: (pid, url, domain, source, extend, arrival_seq) —
+    domain precomputed by the caller (the reference derives it from the
+    URL origin at upsert time, ResourceLabel.ts:63-76)."""
+    inc = (
+        incoming.groupBy("pid", "url")
+        .agg(F.max_by(F.struct("domain", "source", "extend"),
+                      F.col("arrival_seq")).alias("_l"))
+        .select("pid", "url", F.col("_l.domain").alias("i_domain"),
+                F.col("_l.source").alias("i_source"),
+                F.col("_l.extend").alias("i_extend"))
+    )
+    j = labels.withColumnRenamed("domain", "l_domain") \
+        .withColumnRenamed("source", "l_source") \
+        .withColumnRenamed("extend", "l_extend") \
+        .withColumnRenamed("status", "l_status") \
+        .join(inc, ["pid", "url"], "full_outer")
+    is_new = F.col("l_status").isNull()
+    keep = (F.col("l_status") == "done") | F.col("i_source").isNull()
+    return j.select(
+        "pid", "url",
+        F.when(is_new | ~keep, F.col("i_domain"))
+         .otherwise(F.col("l_domain")).alias("domain"),
+        F.when(is_new, F.col("i_source"))
+         .when(keep, F.col("l_source"))
+         .when((F.col("l_source") == "web")
+               & (F.col("i_source") == "cardea"), F.lit("cardea"))
+         .otherwise(F.col("l_source")).alias("source"),
+        F.when(is_new, F.col("i_extend"))
+         .when(keep, F.col("l_extend"))
+         .otherwise(F.col("l_extend") | F.col("i_extend")).alias("extend"),
+        F.when(is_new, F.lit("new"))
+         .otherwise(F.col("l_status")).alias("status"),
+    )
+
+
+def pending_cardea_labels(labels: DataFrame) -> DataFrame:
+    """The compound-index probe (ResourceLabel.ts:18, used to decide
+    whether a process still waits on cardea: pid+status+source+extend):
+    not-done cardea labels that do NOT extend paths."""
+    return labels.filter(
+        (F.col("source") == "cardea") & (F.col("extend") == False)  # noqa: E712
+        & (F.col("status") != "done"))
+
+
 def select_label_batch(labels: DataFrame, resources_per_domain: int = 20,
                        domain_limit: int | None = None) -> DataFrame:
     """Deterministic restatement of Domain.labelsToFetch: returns the

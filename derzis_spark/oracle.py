@@ -34,7 +34,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from derzis_spark.config import CrawlConfig, LABEL_PREDICATES
+from derzis_spark.config import (
+    CrawlConfig, LABEL_PREDICATES, WARN_BY_STATUS)
 from derzis_spark.functions.core import (
     Triple,
     canonicalize_url,
@@ -95,6 +96,13 @@ class Domain:
     robots_txt: str = ""
     crawl_delay: int = 1
     next_allowed: int = 0
+    #: error-type counters (Domain.ts:45-58 WarningsClass + the
+    #: E_RESOURCE_ISSUE counter Resource.ts:253 increments even though
+    #: the reference schema omits it)
+    warnings: dict = field(default_factory=dict)
+    #: ring of the last 10 warning types ($slice: -10, Domain.ts:44,
+    #: Resource.ts:236-266)
+    last_warnings: tuple = ()
 
 
 @dataclass
@@ -182,11 +190,26 @@ class Oracle:
         self._seq += 1
         return s
 
+    def _warn(self, d: Domain, err_type: str) -> None:
+        """Increment a domain warning counter + push the last-warnings
+        ring (Resource.ts:232-266 / Domain.ts:1026-1049). Status→type
+        mapping for the round model: mime/too_many_redirects →
+        E_RESOURCE_ISSUE (unsupported_mime_type / too_many_redirects,
+        Resource.ts:247-258); not_found and robots-disallowed →
+        E_UNKNOWN (the else branch, Resource.ts:259-266 —
+        RobotsForbiddenError carries no mapped errorType); robots
+        host_not_found → E_DOMAIN_NOT_FOUND (Domain.ts:1026-1049)."""
+        d.warnings[err_type] = d.warnings.get(err_type, 0) + 1
+        d.last_warnings = (d.last_warnings + (err_type,))[-10:]
+
+    _WARN_BY_STATUS = WARN_BY_STATUS
+
     def _add_resource(self, url: str) -> None:
         if url in self.resources:
             return
         origin = url_origin(url)
-        self.resources[url] = {"origin": origin, "status": "unvisited"}
+        self.resources[url] = {"origin": origin, "status": "unvisited",
+                               "crawl_round": None, "crawl_counter": None}
         if origin not in self.domains:
             self.domains[origin] = Domain(
                 origin=origin, crawl_delay=self.cfg.default_crawl_delay)
@@ -288,6 +311,8 @@ class Oracle:
             for pr, url in items[: self.cfg.resources_per_domain]:
                 chosen.append((pr, url, origin))
         chosen.sort()
+        if self.cfg.round_budget_cap is not None:
+            chosen = chosen[: self.cfg.round_budget_cap]
         if self.cfg.round_domain_limit is not None:
             kept_domains: list[str] = []
             for _, _, origin in chosen:
@@ -859,6 +884,7 @@ class Oracle:
                 d.robots_status = status
                 if status == "host_not_found":
                     d.status = "error"
+                    self._warn(d, "E_DOMAIN_NOT_FOUND")
                     continue
                 d.robots_txt = txt if status == "ok" else ""
                 delay = None
@@ -878,17 +904,44 @@ class Oracle:
                 break
             fetched: list[str] = []
             new_triples_this_round: list[tuple[str, list[Triple]]] = []
+            crawl_counters: dict[str, int] = {}
             for seq, (url, origin) in enumerate(schedule):
                 d = self.domains[origin]
+                res = self.resources[url]
+                # crawlId stamp (Resource.ts:35-41; Worker.ts:395-413):
+                # every scheduled resource consumes a per-domain-crawl
+                # counter BEFORE the robots gate; domainTs ≡ the round
+                c = crawl_counters.get(origin, 0)
+                crawl_counters[origin] = c + 1
+                res["crawl_round"] = rnd
+                res["crawl_counter"] = c
                 if not robots_allows(d.robots_txt, url, self.cfg.user_agent):
-                    self.resources[url]["status"] = "error"
+                    res["status"] = "error"
+                    self._warn(d, self._WARN_BY_STATUS["error:disallowed"])
                     self.trace.append(
                         TraceEntry(rnd, seq, url, origin, "error:disallowed"))
                     continue
                 d.next_allowed = rnd + d.crawl_delay
+                # triple-cache fetch-skip (Worker.getTriplesFromCache,
+                # Worker.ts:340-379, used :425-440): a URL already in
+                # the store's source sets skips the fetch; its cached
+                # triples are re-submitted verbatim (store unchanged —
+                # sources already contain url) and still feed discovery
+                # + extension. Politeness was charged above, matching
+                # markAsCrawled → setNextCrawlAllowed (Resource.ts:273).
+                cached = [rec["triple"] for rec in self.triples.values()
+                          if url in rec["sources"]]
+                if cached:
+                    new_triples_this_round.append((url, cached))
+                    res["status"] = "done"
+                    fetched.append(url)
+                    self.trace.append(
+                        TraceEntry(rnd, seq, url, origin, "done"))
+                    continue
                 page = self.pages.get(url)
                 if page is None:
-                    self.resources[url]["status"] = "error"
+                    res["status"] = "error"
+                    self._warn(d, self._WARN_BY_STATUS["error:not_found"])
                     self.trace.append(
                         TraceEntry(rnd, seq, url, origin, "error:not_found"))
                     continue
@@ -898,7 +951,9 @@ class Oracle:
                 # (Worker.ts:744-766, worker-utils.ts:122-160)
                 fstatus, rdf_html = self._resolve_redirects(html)
                 if fstatus != "ok":
-                    self.resources[url]["status"] = "error"
+                    res["status"] = "error"
+                    self._warn(d, self._WARN_BY_STATUS.get(
+                        fstatus, "E_UNKNOWN"))
                     self.trace.append(
                         TraceEntry(rnd, seq, url, origin, fstatus))
                     continue

@@ -197,6 +197,162 @@ SQL_JACCARD_NEAR_DUP = """
 """
 
 
+N_MINHASH64 = 64
+MINHASH64_ROWS_PER_BAND = 8  # 8 bands × 8 rows → LSH threshold ≈ 0.77
+#: Mersenne prime 2^31-1: a*x+b stays < 2^62, so the affine permuters
+#: never overflow signed int64 in EITHER engine (DuckDB errors on
+#: BIGINT overflow; Spark wraps — both are avoided)
+MINHASH64_P = 2147483647
+
+
+def _minhash64_params() -> list[tuple[int, int]]:
+    import random
+    rng = random.Random(64)
+    return [(rng.randrange(1, MINHASH64_P), rng.randrange(0, MINHASH64_P))
+            for _ in range(N_MINHASH64)]
+
+MINHASH64_AB = _minhash64_params()
+
+
+def _token_base_col(w_col):
+    """Cross-engine 60-bit base hash of one token: first 15 hex digits
+    of md5(token) parsed base-16, reduced mod P. Spark's ``conv`` and
+    DuckDB's ``CAST('0x…' AS BIGINT)`` agree exactly; ONE md5 per
+    token, the 64 permutations are affine (a·x+b mod P) arithmetic."""
+    return F.conv(
+        F.substring(F.md5(w_col.cast("binary")), 1, 15),
+        16, 10).cast("long") % F.lit(MINHASH64_P)
+
+
+def q_minhash64_signatures(spark, sf_dir):
+    """Production-parameter MinHash: 64 permutations with int64 hash
+    values — ONE md5 per token plus 64 affine permuters (a_i·x+b_i
+    mod 2^31-1), computed as 64 min aggregations in ONE map-side-
+    combinable hash-agg pass over the token rows (no 64× row
+    explosion, no 64× hashing, all whole-stage-codegen JVM exprs)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(_words()).alias("w")
+    ).select("doc_id", _token_base_col(F.col("w")).alias("bm"))
+    aggs = [
+        F.min((F.lit(a) * F.col("bm") + F.lit(b)) % F.lit(MINHASH64_P))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH64_AB)]
+    wide = tokens.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{i}")
+                               for i in range(N_MINHASH64)]))
+        .alias("h", "sig"),
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "sig")
+
+_PERM_VALUES = ",\n           ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH64_AB))
+
+SQL_MINHASH64_SIGNATURES = f"""
+  SELECT t.doc_id, CAST(p.h AS INT) AS h,
+         MIN((p.a * t.bm + p.b) % {MINHASH64_P}) AS sig
+  FROM (
+    SELECT d.doc_id,
+           CAST(concat('0x', substr(md5(u.w), 1, 15)) AS BIGINT)
+             % {MINHASH64_P} AS bm
+    FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(w)
+  ) t,
+  (VALUES {_PERM_VALUES}) AS p(h, a, b)
+  GROUP BY t.doc_id, p.h
+"""
+
+
+def q_jaccard_lsh_pairs(spark, sf_dir):
+    """Jaccard near-dup edges blocked by MinHash-LSH bands (8 bands ×
+    8 rows over the 64-perm signatures) instead of the ``source``
+    column — cross-source near-dups become visible. Candidates are
+    REPRESENTATIVE edges (each bucket member pairs with the bucket's
+    min doc_id), not all intra-bucket pairs: on a dup-heavy corpus a
+    single bucket can hold 30%+ of the docs and all-pairs goes
+    quadratic (measured 9.8M pairs from 5k docs at sf0.1); rep edges
+    keep the output O(n × bands) while still linking every near-dup to
+    its cluster keeper — the shape a 100 TB dedup actually runs.
+    Surviving edges are verified with exact token-set Jaccard ≥ 0.8."""
+    rpb = MINHASH64_ROWS_PER_BAND
+    sigs = q_minhash64_signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band_id", (F.col("h") / rpb).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "sig"))),
+            lambda s: s["sig"].cast("string"))).alias("band_value"))
+    )
+    mins = bands.groupBy("band_id", "band_value").agg(
+        F.min("doc_id").alias("a"))
+    cand = (
+        bands.join(mins, ["band_id", "band_value"])
+        .filter(F.col("doc_id") > F.col("a"))
+        .select("a", F.col("doc_id").alias("b")).distinct()
+    )
+    # exact verify WITHOUT a token-level row explosion: join the two
+    # docs' distinct-token ARRAYS onto each candidate pair and
+    # intersect JVM-side — O(pairs × avg tokens), not
+    # O(pairs × tokens²-worth of shuffled rows)
+    d = load(spark, sf_dir, "documents")
+    tarr = d.select("doc_id", F.array_distinct(_words()).alias("ta"))
+    return (
+        cand.join(tarr.select(F.col("doc_id").alias("a"),
+                              F.col("ta").alias("t_a")), "a")
+        .join(tarr.select(F.col("doc_id").alias("b"),
+                          F.col("ta").alias("t_b")), "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("t_a", "t_b")).alias("n_common"),
+            F.size("t_a").alias("sz_a"), F.size("t_b").alias("sz_b"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                    6))
+        .filter((F.col("n_common") > 0) & (F.col("jaccard") >= 0.8))
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+SQL_JACCARD_LSH_PAIRS = f"""
+  WITH sigs AS ({SQL_MINHASH64_SIGNATURES}),
+  bands AS (
+    SELECT doc_id, CAST(h // {MINHASH64_ROWS_PER_BAND} AS INT) AS band_id,
+           string_agg(CAST(sig AS VARCHAR), '|' ORDER BY h) AS band_value
+    FROM sigs GROUP BY doc_id, band_id
+  ),
+  mins AS (
+    SELECT band_id, band_value, MIN(doc_id) AS a
+    FROM bands GROUP BY band_id, band_value
+  ),
+  cand AS (
+    SELECT DISTINCT m.a, x.doc_id AS b
+    FROM bands x JOIN mins m
+      ON x.band_id = m.band_id AND x.band_value = m.band_value
+    WHERE x.doc_id > m.a
+  ),
+  tarr AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ta
+    FROM documents
+  ),
+  scored AS (
+    SELECT c.a, c.b,
+           len(list_intersect(x.ta, y.ta)) AS n_common,
+           len(x.ta) AS sz_a, len(y.ta) AS sz_b
+    FROM cand c
+    JOIN tarr x ON x.doc_id = c.a
+    JOIN tarr y ON y.doc_id = c.b
+  )
+  SELECT a, b, n_common,
+         ROUND(CAST(n_common AS DOUBLE)
+               / (sz_a + sz_b - n_common), 6) AS jaccard
+  FROM scored
+  WHERE n_common > 0
+    AND ROUND(CAST(n_common AS DOUBLE)
+              / (sz_a + sz_b - n_common), 6) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

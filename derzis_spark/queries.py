@@ -762,6 +762,87 @@ SQL_LABEL_FETCH_BATCHING = f"""
 """
 
 
+def q_label_upsert(spark, sf_dir):
+    """ResourceLabel.upsertMany MERGE (ResourceLabel.ts:45-128) over a
+    derived label substrate: dedup-last incoming by (pid, url), insert
+    unseen as 'new', preserve 'done', upgrade source web→cardea and
+    extend false→true on 'new'/'error' rows. Exercises all branches:
+    inserts (odd doc_ids %3==0), preserves, and both upgrades."""
+    from derzis_spark.operators.label_fetch import upsert_labels
+
+    p = pages_view(spark, sf_dir)
+    d = F.col("doc_id")
+    labels = p.filter(d % 2 == 0).select(
+        F.lit("p1").alias("pid"), "url",
+        F.col("origin").alias("domain"),
+        F.when(d % 4 == 0, F.lit("web")).otherwise(F.lit("cardea"))
+         .alias("source"),
+        (d % 8 < 4).alias("extend"),
+        F.when(d % 6 == 0, F.lit("done"))
+         .when(d % 6 == 2, F.lit("new")).otherwise(F.lit("error"))
+         .alias("status"),
+    )
+    base = p.filter(d % 3 == 0)
+    inc0 = base.select(
+        F.lit("p1").alias("pid"), "url",
+        F.col("origin").alias("domain"),
+        F.lit("web").alias("source"), F.lit(False).alias("extend"),
+        (d * 2).alias("arrival_seq"))
+    inc1 = base.select(
+        F.lit("p1").alias("pid"), "url",
+        F.col("origin").alias("domain"),
+        F.when(d % 2 == 0, F.lit("cardea")).otherwise(F.lit("web"))
+         .alias("source"),
+        (d % 5 < 3).alias("extend"),
+        (d * 2 + 1).alias("arrival_seq"))
+    return upsert_labels(labels, inc0.unionByName(inc1))
+
+SQL_LABEL_UPSERT = f"""
+  WITH pages AS ({PAGES_SQL}),
+  labels AS (
+    SELECT 'p1' AS pid, url, origin AS domain,
+           CASE WHEN doc_id % 4 = 0 THEN 'web' ELSE 'cardea' END AS source,
+           doc_id % 8 < 4 AS extend,
+           CASE WHEN doc_id % 6 = 0 THEN 'done'
+                WHEN doc_id % 6 = 2 THEN 'new' ELSE 'error' END AS status
+    FROM pages WHERE doc_id % 2 = 0
+  ),
+  incoming_raw AS (
+    SELECT 'p1' AS pid, url, origin AS domain, 'web' AS source,
+           FALSE AS extend, doc_id * 2 AS arrival_seq
+    FROM pages WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'p1', url, origin,
+           CASE WHEN doc_id % 2 = 0 THEN 'cardea' ELSE 'web' END,
+           doc_id % 5 < 3, doc_id * 2 + 1
+    FROM pages WHERE doc_id % 3 = 0
+  ),
+  inc AS (
+    SELECT pid, url,
+           max_by(domain, arrival_seq) AS i_domain,
+           max_by(source, arrival_seq) AS i_source,
+           max_by(extend, arrival_seq) AS i_extend
+    FROM incoming_raw GROUP BY pid, url
+  )
+  SELECT COALESCE(l.pid, i.pid) AS pid,
+         COALESCE(l.url, i.url) AS url,
+         CASE WHEN l.status IS NULL THEN i.i_domain
+              WHEN l.status = 'done' OR i.i_source IS NULL THEN l.domain
+              ELSE i.i_domain END AS domain,
+         CASE WHEN l.status IS NULL THEN i.i_source
+              WHEN l.status = 'done' OR i.i_source IS NULL THEN l.source
+              WHEN l.source = 'web' AND i.i_source = 'cardea'
+                THEN 'cardea'
+              ELSE l.source END AS source,
+         CASE WHEN l.status IS NULL THEN i.i_extend
+              WHEN l.status = 'done' OR i.i_source IS NULL THEN l.extend
+              ELSE l.extend OR i.i_extend END AS extend,
+         CASE WHEN l.status IS NULL THEN 'new' ELSE l.status END AS status
+  FROM labels l FULL OUTER JOIN inc i
+    ON l.pid = i.pid AND l.url = i.url
+"""
+
+
 def q_seed_coverage(spark, sf_dir):
     """Seed coverage (process-metrics.ts:88-120): distinct seed URLs
     appearing as subject/object per predicate."""

@@ -42,6 +42,10 @@ RESOURCES = StructType([
     StructField("url", StringType(), False),
     StructField("origin", StringType(), True),
     StructField("status", StringType(), False),  # unvisited|done|error
+    # crawlId (Resource.ts:35-41): domainTs ≡ round of the last crawl
+    # attempt; counter = per-domain-crawl sequence (Worker.ts:395-413)
+    StructField("crawl_round", IntegerType(), True),
+    StructField("crawl_counter", IntegerType(), True),
 ])
 
 DOMAINS = StructType([
@@ -51,6 +55,10 @@ DOMAINS = StructType([
     StructField("robots_txt", StringType(), True),
     StructField("crawl_delay", IntegerType(), False),
     StructField("next_allowed", IntegerType(), False),
+    # warning counters + last-10 ring (Domain.ts:45-58,44; incremented
+    # per Resource.ts:232-266 / Domain.ts:1026-1049)
+    StructField("warnings", MapType(StringType(), IntegerType()), False),
+    StructField("last_warnings", ArrayType(StringType()), False),
 ])
 
 PATHS = StructType([

@@ -74,7 +74,7 @@ def main() -> None:
     trace = engine.trace
     if args.out:
         trace.write.mode("overwrite").parquet(args.out)
-    n = len(engine._trace_rows)
+    n = trace.count()
     print(json.dumps({
         "rounds": engine.round,
         "urls": n,

@@ -71,12 +71,10 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-def test_rows_only_queries_run(spark):
+def test_every_query_has_an_oracle(spark):
+    """Since the iterative entries froze their deterministic outputs as
+    VALUES literals (scripts/freeze_oracles.py), every queries() entry
+    is value-hash-checked — zero rows-only cells."""
     qs = entry_mod.queries()
     oracle = entry_mod.oracle_sql()
-    rows_only = [k for k in qs if k not in oracle]
-    assert "crawl_trace_mini" in rows_only
-    for name in rows_only:
-        df = qs[name](spark, SF_DIR)
-        assert df.count() >= 0
-        assert df.schema is not None
+    assert sorted(qs.keys()) == sorted(oracle.keys())
