@@ -8,13 +8,28 @@ equivalent is a LEFT ANTI JOIN of candidate URLs against the
 ``resources`` table — expensive if every round shuffles the full seen
 set. The Bloom pre-pass (north rule) makes the common case cheap:
 
-1. build/maintain a Bloom filter over all seen URLs (broadcast, a few
-   hundred MB at 10^10 keys / 1% fpp, rebuilt incrementally per round);
+1. build/maintain a Bloom filter over all seen URLs (broadcast ONCE per
+   filter version, a few hundred MB at 10^10 keys / 1% fpp, maintained
+   incrementally per checkpoint);
 2. candidates that MISS the Bloom filter are *definitely new* — they
    skip the join entirely;
 3. only Bloom HITS (true dupes + ~1% false positives) go through the
    exact anti-join, shrinking the join's probe side by ~the novelty
    rate.
+
+Design (r3): the hot path has ZERO per-row Python and ZERO plan
+literals. String hashing happens JVM-side (``xxhash64`` inside
+whole-stage codegen); the filter itself is a numpy uint64 word array
+addressed with Kirsch-Mitzenmacher double hashing, so both build and
+probe are k vectorized array ops per Arrow batch. The bit array is
+shipped with ``sparkContext.broadcast`` exactly once per filter version
+(old broadcasts are unpersisted on invalidation). An earlier r3 draft
+used the catalyst ``BloomFilterMightContain`` expression over a
+serialized-sketch *literal* — rejected after measurement: every job
+re-serializes the sketch into its task binary, and the accumulated
+broadcast/literal copies (one per Spark job) thrashed a long-running
+driver into full-GC livelock. A broadcast variable costs one transfer
+per executor per version instead of one per job.
 
 Deletions (the ``resetErrors`` step flag reverts error→unvisited,
 models/src/Process/Process.ts:562-664 — and a re-queued URL must be
@@ -22,13 +37,9 @@ models/src/Process/Process.ts:562-664 — and a re-queued URL must be
 poisoned entries need true deletion) can't be expressed with a Bloom
 filter; the cuckoo filter supports delete at the same fpp.
 
-Both filters are pure numpy bit/bucket arrays — picklable, so they
-broadcast to executors and are applied inside an Arrow-batched
-pandas UDF.
-
 NOTE: no ``from __future__ import annotations`` — the pandas UDF in
-``split_by_bloom`` needs real (non-string) type hints for pyspark's
-eval-type inference.
+``BloomFilter.might_contain`` needs real (non-string) type hints for
+pyspark's eval-type inference.
 """
 
 import hashlib
@@ -36,56 +47,145 @@ import math
 
 import numpy as np
 
+#: odd 64-bit mixing constant (golden-ratio) for the second hash of the
+#: Kirsch-Mitzenmacher double-hashing scheme
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k) — m rounded UP to a power of two so bit addressing
+    is a mask, k from the standard optimum for the requested fpp."""
+    m_req = max(1024, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+    m = 1
+    while m < m_req:
+        m <<= 1
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bit_positions(m: int, k: int, hashes: np.ndarray):
+    """Yield (word_idx, bit_mask) arrays for each of the k probes —
+    pure vectorized uint64 arithmetic, no per-row anything."""
+    h1 = hashes.astype(np.int64, copy=False).view(np.uint64)
+    h2 = (h1 * _MIX) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        yield (idx >> np.uint64(6)).astype(np.int64), \
+            np.uint64(1) << (idx & np.uint64(63))
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over JVM ``xxhash64`` values.
+
+    The driver/executors only ever hold the fixed-size uint64 word
+    array; all string hashing is Spark's codegen'd ``xxhash64``. Build
+    is one ``mapInArrow`` job producing per-partition partial word
+    arrays OR-folded on the driver (n_partitions × m/8 bytes — for a
+    10^10-key filter fold partials pairwise executor-side instead,
+    same associative union)."""
+
+    def __init__(self, capacity: int, fpp: float = 0.01):
+        self.capacity = int(capacity)
+        self.fpp = float(fpp)
+        self.m, self.k = _bloom_params(self.capacity, self.fpp)
+        self.words = np.zeros(self.m // 64, dtype=np.uint64)
+        self._spark = None
+        self._bc = None  # broadcast of (m, k, words), one per version
+
+    # -- core vectorized ops (driver or executor side) -----------------
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        for w_idx, bit in _bit_positions(self.m, self.k, hashes):
+            np.bitwise_or.at(self.words, w_idx, bit)
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        ok = np.ones(len(hashes), dtype=bool)
+        for w_idx, bit in _bit_positions(self.m, self.k, hashes):
+            ok &= (self.words[w_idx] & bit) != 0
+        return ok
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.words |= other.words
+        self._invalidate()
+        return self
+
+    # -- Spark integration --------------------------------------------
+    @classmethod
+    def build(cls, spark, df, key_col: str, capacity: int,
+              fpp: float = 0.01) -> "BloomFilter":
+        """One executor-side job: xxhash64 in codegen → per-partition
+        partial word arrays folded per Arrow batch → driver ORs the
+        fixed-size partials. No URL (or hash) set ever materializes on
+        the driver."""
+        bf = cls(capacity, fpp)
+        bf._spark = spark
+        bf._fold_df(df, key_col)
+        return bf
+
+    def _fold_df(self, df, key_col: str) -> None:
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        m, k, cap, fpp = self.m, self.k, self.capacity, self.fpp
+
+        def fold(batches):
+            part = BloomFilter(cap, fpp)
+            assert (part.m, part.k) == (m, k)
+            for batch in batches:
+                arr = batch.column(0).to_numpy(zero_copy_only=False)
+                part.add_hashes(arr)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([part.words.tobytes()])], names=["bits"])
+
+        hdf = df.select(F.xxhash64(F.col(key_col)).alias("h"))
+        for row in hdf.mapInArrow(fold, "bits binary").collect():
+            self.words |= np.frombuffer(row["bits"], dtype=np.uint64)
+        self._invalidate()
+
+    def merge_from(self, df, key_col: str) -> None:
+        """Fold a batch of new keys into the filter (same-shaped
+        partial built executor-side, bitwise OR)."""
+        self._fold_df(df, key_col)
+
+    def _invalidate(self) -> None:
+        if self._bc is not None:
+            self._bc.unpersist(blocking=False)
+            self._bc = None
+
+    def might_contain(self, col):
+        """Column[bool]: Bloom membership of the (string) column.
+        Hashing runs JVM-side; the probe is k vectorized numpy ops per
+        Arrow batch against the broadcast word array (false ⇒
+        definitely new; true ⇒ maybe seen)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        assert self._spark is not None, "build() the filter first"
+        if self._bc is None:
+            self._bc = self._spark.sparkContext.broadcast(
+                (self.m, self.k, self.words))
+        bc = self._bc
+
+        @pandas_udf(BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            m, k, words = bc.value
+            hashes = h.to_numpy(dtype=np.int64, na_value=0)
+            ok = np.ones(len(hashes), dtype=bool)
+            for w_idx, bit in _bit_positions(m, k, hashes):
+                ok &= (words[w_idx] & bit) != 0
+            return pd.Series(ok)
+
+        return _probe(F.xxhash64(col))
+
 
 def _h64(value: str, salt: int) -> int:
     digest = hashlib.blake2b(
         value.encode("utf-8"), digest_size=8, salt=salt.to_bytes(8, "little")
     ).digest()
     return int.from_bytes(digest, "little")
-
-
-class BloomFilter:
-    """Plain numpy Bloom filter (k hash functions via salted blake2b)."""
-
-    def __init__(self, capacity: int, fpp: float = 0.01):
-        self.capacity = capacity
-        self.fpp = fpp
-        m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
-        self.m = m
-        self.k = max(1, round(m / capacity * math.log(2)))
-        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-
-    def _positions(self, value: str) -> list[int]:
-        h1 = _h64(value, 0)
-        h2 = _h64(value, 1) | 1
-        return [((h1 + i * h2) % self.m) for i in range(self.k)]
-
-    def add(self, value: str) -> None:
-        for pos in self._positions(value):
-            self.bits[pos >> 3] |= 1 << (pos & 7)
-
-    def add_many(self, values) -> None:
-        for v in values:
-            self.add(v)
-
-    def might_contain(self, value: str) -> bool:
-        return all(
-            self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(value)
-        )
-
-    def might_contain_many(self, values) -> np.ndarray:
-        return np.fromiter(
-            (self.might_contain(v) for v in values), dtype=bool,
-            count=len(values),
-        )
-
-    def union(self, other: "BloomFilter") -> "BloomFilter":
-        assert self.m == other.m and self.k == other.k
-        out = BloomFilter.__new__(BloomFilter)
-        out.capacity, out.fpp, out.m, out.k = (
-            self.capacity, self.fpp, self.m, self.k)
-        out.bits = self.bits | other.bits
-        return out
 
 
 class CuckooFilter:
@@ -150,52 +250,3 @@ class CuckooFilter:
                 self.table[i, hits[0]] = 0
                 return True
         return False
-
-
-def split_by_bloom(spark, candidates, url_col: str, bloom: BloomFilter,
-                   bc=None):
-    """Partition candidate URLs into (definitely_new, maybe_seen) using a
-    broadcast Bloom filter inside an Arrow-batched UDF.
-
-    ``definitely_new`` rows skip the exact anti-join; only ``maybe_seen``
-    (dupes + fpp false positives) join against the seen-set table.
-    Pass ``bc`` (a Broadcast of the same filter) to reuse an existing
-    broadcast across calls.
-    """
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    if bc is None:
-        bc = spark.sparkContext.broadcast(bloom)
-
-    @pandas_udf(BooleanType())
-    def _might_contain(urls: pd.Series) -> pd.Series:
-        f = bc.value
-        return pd.Series(f.might_contain_many(urls.tolist()))
-
-    flagged = candidates.withColumn("_maybe_seen", _might_contain(F.col(url_col)))
-    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    maybe_seen = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    return definitely_new, maybe_seen
-
-
-def bloom_from_dataframe(df, url_col: str, capacity: int,
-                         fpp: float = 0.01) -> BloomFilter:
-    """Build the seen-set Bloom filter executor-side: each partition
-    folds its URLs into a partial filter and partials merge with a
-    treeAggregate of bitwise unions. At 10^10 keys this is the only
-    viable construction — the driver never materializes the URL set,
-    only the final (capacity-sized) bit array.
-    """
-    cap, f = capacity, fpp
-
-    def seq_op(b: BloomFilter, row) -> BloomFilter:
-        v = row[0]
-        if v is not None:
-            b.add(v)
-        return b
-
-    return df.select(url_col).rdd.treeAggregate(
-        BloomFilter(cap, f), seq_op, lambda a, b: a.union(b))

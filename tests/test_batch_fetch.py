@@ -86,20 +86,50 @@ def test_stats_text_byte_identical(spark):
         assert r["text_len"] == text_len[r["url"]]
 
 
-def test_bloom_from_dataframe_matches_driver_build(spark):
-    """Executor-side Bloom construction (treeAggregate of per-partition
-    partials) must produce bit-identical filters to a driver-side add
-    loop — union is an OR of deterministic per-element bit patterns."""
+def test_vector_bloom_build_probe_merge(spark):
+    """The seen-set Bloom path (xxhash64 JVM-side, vectorized numpy
+    probe over the broadcast word array) must have zero false
+    negatives, a plausible false-positive rate, and a merge that
+    behaves like rebuilding over the union."""
+    from pyspark.sql import functions as F
+    from derzis_spark.operators.seen_set import BloomFilter
+
+    seen = [f"https://o{i % 7}.example.org/p/{i}" for i in range(2000)]
+    df = spark.createDataFrame([(u,) for u in seen], "url string") \
+        .repartition(8)
+    bf = BloomFilter.build(spark, df, "url", capacity=10_000, fpp=0.01)
+
+    def probe(urls):
+        pdf = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            r["url"]: r["m"] for r in pdf.select(
+                "url", bf.might_contain(F.col("url")).alias("m")).collect()
+        }
+
+    got = probe(seen)
+    assert all(got.values())  # no false negatives
+    unseen = [f"https://other.example.net/x/{i}" for i in range(2000)]
+    fp = sum(probe(unseen).values())
+    assert fp < 2000 * 0.05  # ~1% fpp with slack
+    # merge: fold a second batch in, old and new keys must both hit
+    extra = [f"https://extra.example.org/e/{i}" for i in range(500)]
+    bf.merge_from(
+        spark.createDataFrame([(u,) for u in extra], "url string"), "url")
+    got2 = probe(seen + extra)
+    assert all(got2.values())
+
+
+def test_vector_bloom_partitioning_invariant(spark):
+    """Executor-side construction (per-partition partial word arrays,
+    OR-folded) must be bit-identical regardless of partitioning — the
+    bit content depends only on the key set."""
     import numpy as np
-    from derzis_spark.operators.seen_set import (
-        BloomFilter, bloom_from_dataframe)
+    from derzis_spark.operators.seen_set import BloomFilter
 
     urls = [f"https://o{i % 7}.example.org/p/{i}" for i in range(500)]
-    df = spark.createDataFrame([(u,) for u in urls], "url string") \
-        .repartition(8)
-    dist = bloom_from_dataframe(df, "url", capacity=10_000)
-    local = BloomFilter(10_000)
-    for u in urls:
-        local.add(u)
-    assert np.array_equal(dist.bits, local.bits)
-    assert all(dist.might_contain(u) for u in urls)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    one = BloomFilter.build(spark, df.coalesce(1), "url", capacity=10_000)
+    many = BloomFilter.build(
+        spark, df.repartition(8), "url", capacity=10_000)
+    assert np.array_equal(one.words, many.words)
+    assert one.words.any()
