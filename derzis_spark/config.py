@@ -87,6 +87,14 @@ class CrawlConfig:
     max_redirects: int = 5
     #: safety cap on rounds
     max_rounds: int = 1000
+    #: key-count ceiling for EXPLICIT broadcast hints on round-sized
+    #: join sides (triple-MERGE collision scan, cache-probe hit set,
+    #: endpoint min-merge). Below it the hint skips a shuffle; above it
+    #: the hint is dropped so the join shuffles on the (bucketed) key —
+    #: an explicit hint would bypass AQE's size check and a mega-round
+    #: (millions of URLs × ~30 triples) would blow the 8 GB broadcast
+    #: hard limit
+    broadcast_key_limit: int = 2_000_000
     #: use the Bloom-filter pre-pass for the seen-set anti-join
     use_bloom: bool = True
     #: expected seen-set capacity for sizing the Bloom filter

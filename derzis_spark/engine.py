@@ -47,8 +47,7 @@ from derzis_spark.config import (
 from derzis_spark.functions import udfs
 from derzis_spark.functions.core import matches_predicate_pattern
 from derzis_spark import schemas
-from derzis_spark.operators.seen_set import (
-    BloomFilter, bloom_from_dataframe, split_by_bloom)
+from derzis_spark.operators.seen_set import BloomFilter
 from derzis_spark.storage import SnapshotStore
 
 
@@ -95,11 +94,16 @@ _ENDS_SCHEMA = ("end string, dir_rank int, pred string, "
                 "node_c string, t_dt string, t_lang string")
 
 
-def _semi_filter(spark, df, col: str, values: list, threshold: int = 64):
+def _semi_filter(spark, df, col: str, values, threshold: int = 64):
     """Membership filter that stays plan-friendly: literal isin for
     small sets (cheap to compile, no exchange), broadcast semi-join
     beyond the threshold (large IN-lists inflate codegen and per-task
-    predicate evaluation; a broadcast hash probe does not)."""
+    predicate evaluation; a broadcast hash probe does not). ``values``
+    may also be a DataFrame with a ``col`` column — the frontier-scale
+    path (e.g. start_step's done-head set): a plain semi-join with no
+    hint, so AQE picks broadcast vs shuffle from the actual size."""
+    if isinstance(values, DataFrame):
+        return df.join(values.select(col).distinct(), col, "left_semi")
     if not values:
         return df.filter(F.lit(False))
     if len(values) <= threshold:
@@ -124,12 +128,16 @@ class CrawlEngine:
         self.round = 0
         self.seq_counter = 0
         self._bloom: BloomFilter | None = None
-        self._bloom_bc = None
         #: False until the first triple merge — gates the triple-cache
         #: fetch-skip probe (an empty store can't have cache hits)
         self._store_nonempty = False
         #: new-URL batches awaiting the per-checkpoint Bloom fold
         self._pending_bloom: list[DataFrame] = []
+        #: per-step config log (Process.steps analog) — the cross-run
+        #: validator's precondition surface (validator/src/lib/
+        #: cmp-results.ts:4-52 compares steps' maxPathLength /
+        #: maxPathProps / seeds / predicate limitations)
+        self._step_log: list[dict] = []
         # The only driver-side caches are DIMENSION-sized (per-domain —
         # the reference keeps the same per-domain robots cache,
         # models/src/Domain.ts:117-150). URL-level state (seen-set,
@@ -237,10 +245,27 @@ class CrawlEngine:
         self._proc_done_df = self.spark.createDataFrame([], "url string")
         self.seq_counter = len(seed_rows)
         self.round = 0
+        self._record_step(
+            [r["url"] for r in sorted(seed_rows, key=lambda r: r["seq"])])
         if self.store:
             self._commit({"phase": "bootstrap"})
         else:
             self._checkpoint_local()
+
+    def _record_step(self, seeds: list[str]) -> None:
+        """Append the current step's config to the step log — the
+        surface the cross-run validator's precondition check compares
+        (cmp-results.ts:4-52: step count, maxPathLength, maxPathProps,
+        seeds, predicate limitations)."""
+        self._step_log.append({
+            "max_path_length": self.cfg.max_path_length,
+            "max_path_props": self.cfg.max_path_props,
+            "path_type": self.cfg.path_type,
+            "seeds": list(seeds),
+            "pred_limitations": [
+                {"predicate": l.predicate, "lims": list(l.lims)}
+                for l in self.cfg.pred_limitations],
+        })
 
     def resume(self) -> None:
         """Deterministic mid-frontier resume from the latest snapshot."""
@@ -257,6 +282,7 @@ class CrawlEngine:
         self._trace_df = tables["trace"]
         self.round = manifest["round"]
         self.seq_counter = manifest["seq_counter"]
+        self._step_log = list(manifest.get("steps", []))
         # rebuild the (dimension-sized) per-domain driver counters
         dom_rows = self.domains.select("origin", "status").collect()
         self._known_origins = {r["origin"] for r in dom_rows}
@@ -289,6 +315,7 @@ class CrawlEngine:
                     self._proc_done_df.distinct().orderBy("url"),
             },
             metrics, self.seq_counter,
+            steps=self._step_log,
             # Iceberg bucket(n, key)-style hash partitioning for the
             # big tables (north rule: salted domain/url-hash-partitioned
             # frontier state); per-bucket row counts go to the manifest
@@ -371,29 +398,33 @@ class CrawlEngine:
         else:
             # done-headed active paths re-extend under the new limits;
             # the done probe is a semi-join against the resources table
-            # (not a driver seen-set)
-            done_heads = sorted(
-                r["head_url"] for r in self.paths.filter(
+            # and the head set stays a DATAFRAME all the way into the
+            # extension cascade — a frontier-scale step transition never
+            # materializes its head set on the driver
+            done_heads = (
+                self.paths.filter(
                     (F.col("status") == "active")
                     & (F.col("head_kind") == "url"))
                 .select("head_url").distinct()
                 .join(self.resources.filter(F.col("status") == "done")
                       .select(F.col("url").alias("head_url")),
                       "head_url", "left_semi")
-                .collect())
-            if done_heads:
+                .localCheckpoint(eager=True))
+            if done_heads.count():
                 if self.cfg.path_type == "endpoint":
                     self._extend_endpoint(self.round, done_heads)
                 else:
                     self._extend(self.round, done_heads)
+        step_seeds: list[str] = []
         if seeds is not None:
-            self._insert_seed_paths(seeds)
+            step_seeds = self._insert_seed_paths(seeds)
+        self._record_step(step_seeds)
         if self.store:
             self._commit({"phase": "start_step"})
         else:
             self._checkpoint_local()
 
-    def _insert_seed_paths(self, seeds: DataFrame) -> None:
+    def _insert_seed_paths(self, seeds: DataFrame) -> list[str]:
         """Additive seed insertion into a live crawl (Resource.ts
         insertSeeds/insertSeedPaths; contrast bootstrap, which creates
         the tables from scratch)."""
@@ -435,6 +466,7 @@ class CrawlEngine:
         if rows:
             self.paths = self.paths.unionByName(
                 self.spark.createDataFrame(rows, schemas.PATHS))
+        return seed_urls
 
     def reset_errored_states(self) -> None:
         """Error resets (resetErrors step flag, Process.ts:562-664):
@@ -669,7 +701,10 @@ class CrawlEngine:
                     & (F.col("next_allowed") <= rnd))
         )
         url_best = elig.groupBy("head_url", "origin").agg(
-            F.min(F.struct("length", "created_round", "seq")).alias("pr")
+            F.min(F.struct("length", "created_round", "seq")).alias("pr"),
+            # robots_txt is functionally determined by origin — carrying
+            # it through the agg saves a second domains join below
+            F.first("robots_txt").alias("robots_txt"),
         )
         per_dom = Window.partitionBy("origin").orderBy("pr", "head_url")
         ranked = (
@@ -684,13 +719,10 @@ class CrawlEngine:
                 self.cfg.round_budget_cap)
         # robots fetch-gate (Worker.ts:415-423) fused into the schedule
         # job: the vectorized matcher runs executor-side over the ranked
-        # rows (robots_txt rides along from the domains join), so a
-        # mega-round's gate scales with cores instead of single-
-        # threading the driver
-        gate = ranked.join(
-            F.broadcast(self.domains.select("origin", "robots_txt")),
-            "origin", "left")
-        gate = gate.withColumn(
+        # rows (robots_txt rode through the eligibility join + agg — no
+        # second domains scan), so a mega-round's gate scales with cores
+        # instead of single-threading the driver
+        gate = ranked.withColumn(
             "allowed",
             self._robots_allows(
                 F.coalesce(F.col("robots_txt"), F.lit("")),
@@ -756,7 +788,7 @@ class CrawlEngine:
                             "subject", "predicate", "object_kind",
                             "object_value", "object_datatype",
                             "object_language")
-                    .join(F.broadcast(hit_df), "source")
+                    .join(self._maybe_bcast(hit_df, len(hits)), "source")
                 )
                 attempted_miss = [(u, o, r) for (u, o, r) in attempted
                                   if u not in hits]
@@ -937,6 +969,17 @@ class CrawlEngine:
         )
         self._proc_done_df = self._proc_done_df.unionByName(src)
 
+    def _maybe_bcast(self, df: DataFrame, n_keys: int) -> DataFrame:
+        """Broadcast hint only under ``cfg.broadcast_key_limit``: an
+        explicit hint bypasses AQE's size-based join choice, so a
+        mega-round side would sail past the 8 GB broadcast hard limit.
+        Above the gate the hint is dropped and the join shuffles on the
+        key — the bucketed MERGE shape the storage layer already writes
+        (storage.py bucketed tables)."""
+        if n_keys <= self.cfg.broadcast_key_limit:
+            return F.broadcast(df)
+        return df
+
     def _merge_triples(self, quads: DataFrame) -> None:
         """Per-page dedup + MERGE into the triple store with source-set
         union (Triple.ts:79-232; sources $addToSet → array_distinct).
@@ -944,16 +987,18 @@ class CrawlEngine:
         Fully distributed MERGE INTO shape — no triple ever reaches the
         driver: the round's deduped triples are checkpointed once, the
         colliding keys (already present in the store — a triple
-        re-extracted from another page) are found with a broadcast
-        semi-join against the store, fresh keys APPEND (no shuffle, no
+        re-extracted from another page) are found with a semi-join
+        against the store (broadcast under the size gate, shuffled on
+        the bucketed key above it), fresh keys APPEND (no shuffle, no
         re-aggregation of the store), and only collisions take the
-        broadcast merge join. The edge view gains the fresh rows'
-        edges as a distributed projection (_ends_of)."""
+        merge join. The edge view gains the fresh rows' edges as a
+        distributed projection (_ends_of)."""
         key = ["subject", "predicate", "object_kind", "object_value",
                "object_datatype", "object_language"]
         nt = quads.groupBy(*key).agg(
             F.sort_array(F.collect_set("source")).alias("sources")
         ).localCheckpoint(eager=True)  # one job, O(round's new keys)
+        n_new = nt.count()  # cheap: counts the checkpointed partitions
 
         def nullsafe_cond(left, right):
             cond = None
@@ -964,18 +1009,21 @@ class CrawlEngine:
 
         nt_keys = nt.select(*key)
         coll_keys = self.triples.select(*key).join(
-            F.broadcast(nt_keys), nullsafe_cond(self.triples, nt_keys),
+            self._maybe_bcast(nt_keys, n_new),
+            nullsafe_cond(self.triples, nt_keys),
             "left_semi"
         ).localCheckpoint(eager=True)  # the MERGE target scan
         n_coll = coll_keys.count()
         if n_coll:
             upd = nt.join(
-                F.broadcast(coll_keys), nullsafe_cond(nt, coll_keys),
+                self._maybe_bcast(coll_keys, n_coll),
+                nullsafe_cond(nt, coll_keys),
                 "left_semi"
             ).withColumnRenamed("sources", "new_sources")
             cond = nullsafe_cond(self.triples, upd)
             self.triples = (
-                self.triples.join(F.broadcast(upd), cond, "left")
+                self.triples.join(
+                    self._maybe_bcast(upd, n_coll), cond, "left")
                 .select(
                     *[self.triples[c] for c in key],
                     F.when(
@@ -987,7 +1035,8 @@ class CrawlEngine:
             )
             self._triples_dirty = True
         fresh = nt.join(
-            F.broadcast(coll_keys), nullsafe_cond(nt, coll_keys),
+            self._maybe_bcast(coll_keys, n_coll),
+            nullsafe_cond(nt, coll_keys),
             "left_anti")
         self.triples = self.triples.unionByName(fresh)
         self.ends = self.ends.unionByName(self._ends_of(fresh))
@@ -1023,11 +1072,15 @@ class CrawlEngine:
         filter is always fresh w.r.t. every PREVIOUS round — exactly
         what the pre-pass's correctness needs."""
         if use_bloom and self.cfg.use_bloom and self._bloom is not None:
-            if self._bloom_bc is None:
-                self._bloom_bc = self.spark.sparkContext.broadcast(
-                    self._bloom)
-            definitely_new, maybe_seen = split_by_bloom(
-                self.spark, urls, "url", self._bloom, bc=self._bloom_bc)
+            # zero per-row-Python pre-pass: xxhash64 in codegen, then k
+            # vectorized numpy probes per Arrow batch against the
+            # broadcast-once word array (operators/seen_set.py)
+            flagged = urls.withColumn(
+                "_maybe_seen", self._bloom.might_contain(F.col("url")))
+            definitely_new = flagged.filter(
+                ~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe_seen = flagged.filter(
+                F.col("_maybe_seen")).drop("_maybe_seen")
             genuinely_new = maybe_seen.join(
                 self.resources.select("url"), "url", "left_anti")
             new_urls = definitely_new.unionByName(genuinely_new)
@@ -1064,17 +1117,20 @@ class CrawlEngine:
 
     def _flush_bloom(self) -> None:
         """Fold the checkpoint window's new-URL batches into the Bloom
-        filter: per-partition partial filters, bitwise tree union —
-        the driver only ever holds the fixed-size bit array."""
-        if self._bloom is None or not self._pending_bloom:
-            self._pending_bloom = []
+        filter (executor-side partial sketch, bitwise union — the
+        driver only ever holds the fixed-size bit array). With no
+        filter built yet the batches are KEPT, not dropped: the
+        eventual full build in ``run()`` supersedes them and clears the
+        queue, and keeping them means any other future consumer stays
+        correct without relying on that rebuild."""
+        if not self._pending_bloom:
             return
+        if self._bloom is None:
+            return  # keep batches pending until a filter exists
         batch = self._pending_bloom[0]
         for extra in self._pending_bloom[1:]:
             batch = batch.unionByName(extra)
-        self._bloom = self._bloom.union(bloom_from_dataframe(
-            batch, "url", self.cfg.bloom_capacity, self.cfg.bloom_fpp))
-        self._bloom_bc = None  # invalidate the cached broadcast
+        self._bloom.merge_from(batch, "url")
         self._pending_bloom = []
 
     # ------------------------------------------------------------------
@@ -1190,8 +1246,8 @@ class CrawlEngine:
                         "head_url").localCheckpoint(eager=True)
         lit_info = info(trav.filter(F.col("head_kind") == "literal"),
                         "head_key").localCheckpoint(eager=True)
-        url_rows = url_info.collect()
-        lit_rows = sorted(lit_info.collect(), key=lambda r: r["gkey"])
+        n_url = url_info.count()
+        n_lit = lit_info.count()
         # delete all active traversal rows, then min-merge into endpoint
         self.paths = self.paths.withColumn(
             "status",
@@ -1199,9 +1255,10 @@ class CrawlEngine:
                    & F.col("seed_paths").isNull(), F.lit("deleted"))
             .otherwise(F.col("status")))
         upd = self.paths.join(
-            F.broadcast(url_info.select(
+            self._maybe_bcast(url_info.select(
                 F.col("gkey").alias("head_url"),
-                F.col("dist").alias("new_dist"), F.col("new_map"))),
+                F.col("dist").alias("new_dist"), F.col("new_map")),
+                n_url),
             "head_url", "left")
         merged_map = F.map_from_entries(F.sort_array(F.map_entries(
             F.map_zip_with(
@@ -1218,34 +1275,59 @@ class CrawlEngine:
             F.when(is_ep & F.col("new_map").isNotNull(), merged_map)
             .otherwise(F.col("seed_paths")).alias("seed_paths"),
         )
-        ep_heads = {
-            r["head_url"] for r in self.paths.filter(
+        # new endpoint rows for heads with no existing endpoint path —
+        # the head set stays distributed: anti-join against the current
+        # endpoint heads, deterministic seqs via the same two-phase
+        # parallel rank the extension cascade uses (url rows ordered by
+        # (dist, head) first, then literal rows by head — identical to
+        # the old driver loop's order)
+        ep_heads = (
+            self.paths.filter(
                 F.col("seed_paths").isNotNull()
                 & (F.col("head_kind") == "url"))
-            .select("head_url").distinct().collect()
-        }
-        new_rows = []
-        for r in sorted((r for r in url_rows if r["gkey"] not in ep_heads),
-                        key=lambda r: (r["dist"], r["gkey"])):
-            new_rows.append(("", r["gkey"], "url", r["gkey"], [], [],
-                             int(r["dist"]), "active", self.round,
-                             self.seq_counter, dict(r["new_map"])))
-            self.seq_counter += 1
-        for r in lit_rows:
-            new_rows.append(("", None, "literal", r["gkey"], [], [],
-                             int(r["dist"]), "active", self.round,
-                             self.seq_counter, dict(r["new_map"])))
-            self.seq_counter += 1
-        if new_rows:
-            self.paths = self.paths.unionByName(
-                self.spark.createDataFrame(new_rows, schemas.PATHS))
+            .select(F.col("head_url").alias("gkey")).distinct())
+        new_url_df = url_info.join(ep_heads, "gkey", "left_anti") \
+            .localCheckpoint(eager=True)
+        n_new = new_url_df.count()
+        new_paths = None
+        if n_new:
+            new_paths = self._endpoint_path_rows(self._assign_wave_seq(
+                new_url_df, ["dist", "gkey"], n_new), "url", self.round)
+            self.seq_counter += n_new
+        if n_lit:
+            lits = self._endpoint_path_rows(self._assign_wave_seq(
+                lit_info, ["gkey"], n_lit), "literal", self.round)
+            new_paths = lits if new_paths is None \
+                else new_paths.unionByName(lits)
+            self.seq_counter += n_lit
+        if new_paths is not None:
+            self.paths = self.paths.unionByName(new_paths)
         self.cfg = dc_replace(self.cfg, path_type="endpoint")
         if self.store:
             self._commit({"phase": "convert_to_endpoint"})
         else:
             self._checkpoint_local()
 
-    def _extend_endpoint(self, rnd: int, fetched_done: list[str]) -> int:
+    def _endpoint_path_rows(self, df: DataFrame, kind: str,
+                            rnd: int) -> DataFrame:
+        """Project (gkey, dist, new_map, seq) group rows into new
+        endpoint path rows — the distributed replacement for the old
+        driver-side row loop (no head set ever reaches the driver)."""
+        return df.select(
+            F.lit("").alias("seed"),
+            (F.col("gkey") if kind == "url"
+             else F.lit(None).cast("string")).alias("head_url"),
+            F.lit(kind).alias("head_kind"),
+            F.col("gkey").alias("head_key"),
+            F.expr("cast(array() as array<string>)").alias("nodes"),
+            F.expr("cast(array() as array<string>)").alias("predicates"),
+            F.col("dist").cast("int").alias("length"),
+            F.lit("active").alias("status"),
+            F.lit(rnd).cast("int").alias("created_round"),
+            F.col("seq"),
+            F.col("new_map").alias("seed_paths"))
+
+    def _extend_endpoint(self, rnd: int, fetched_done) -> int:
         """Endpoint-path extension (EndpointPath.ts:216-372) as joins +
         map algebra, mirroring the oracle's `_extend_round_endpoint`
         exactly: per wave, candidates from all parents are grouped BY
@@ -1261,7 +1343,7 @@ class CrawlEngine:
             self.paths.filter(
                 (F.col("status") == "active")
                 & (F.col("head_kind") == "url")),
-            "head_url", list(fetched_done))
+            "head_url", fetched_done)
         ends = self.ends.cache()
         self._wave_caches.append(ends)
         bf = None
@@ -1477,13 +1559,14 @@ class CrawlEngine:
             n_lit_heads = lit_info.count()
             if n_url_heads == 0 and n_lit_heads == 0:
                 break
-            # min-merge into existing endpoint paths (map_zip_with).
-            # broadcast is right for round-bounded waves; at mega-wave
-            # scale AQE would pick a shuffle join on head_url instead
+            # min-merge into existing endpoint paths (map_zip_with);
+            # broadcast under the size gate, shuffle on head_url above
+            # it (a mega-wave side would blow the broadcast limit)
             upd_df = url_info.select(
                 F.col("gkey").alias("head_url"),
                 F.col("dist").alias("new_dist"), "new_map")
-            upd = self.paths.join(F.broadcast(upd_df), "head_url", "left")
+            upd = self.paths.join(
+                self._maybe_bcast(upd_df, n_url_heads), "head_url", "left")
             merged_map = F.map_from_entries(F.sort_array(F.map_entries(
                 F.map_zip_with(
                     "seed_paths", "new_map",
@@ -1520,31 +1603,14 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             n_new = new_url_df.count()
 
-            def path_rows(df, kind):
-                return df.select(
-                    F.lit("").alias("seed"),
-                    (F.col("gkey") if kind == "url"
-                     else F.lit(None).cast("string")).alias("head_url"),
-                    F.lit(kind).alias("head_kind"),
-                    F.col("gkey").alias("head_key"),
-                    F.expr("cast(array() as array<string>)")
-                    .alias("nodes"),
-                    F.expr("cast(array() as array<string>)")
-                    .alias("predicates"),
-                    F.col("dist").cast("int").alias("length"),
-                    F.lit("active").alias("status"),
-                    F.lit(rnd).cast("int").alias("created_round"),
-                    F.col("seq"),
-                    F.col("new_map").alias("seed_paths"))
-
             new_paths = None
             if n_new:
-                new_paths = path_rows(self._assign_wave_seq(
-                    new_url_df, ["dist", "gkey"], n_new), "url")
+                new_paths = self._endpoint_path_rows(self._assign_wave_seq(
+                    new_url_df, ["dist", "gkey"], n_new), "url", rnd)
                 self.seq_counter += n_new
             if n_lit_heads:
-                lits = path_rows(self._assign_wave_seq(
-                    lit_info, ["gkey"], n_lit_heads), "literal")
+                lits = self._endpoint_path_rows(self._assign_wave_seq(
+                    lit_info, ["gkey"], n_lit_heads), "literal", rnd)
                 new_paths = lits if new_paths is None \
                     else new_paths.unionByName(lits)
                 self.seq_counter += n_lit_heads
@@ -1576,7 +1642,7 @@ class CrawlEngine:
             self._ledger_commit(proc_keys)
         return total
 
-    def _extend(self, rnd: int, fetched_done: list[str]) -> int:
+    def _extend(self, rnd: int, fetched_done) -> int:
         """Within-round extension cascade (oracle `_extend_round`).
 
         Wave 1 parents come from the frontier table; wave k>1 parents
@@ -1590,7 +1656,7 @@ class CrawlEngine:
             self.paths.filter(
                 (F.col("status") == "active")
                 & F.col("head_kind").isin("url", "blank")),
-            "head_url", list(fetched_done))
+            "head_url", fetched_done)
         # every wave probes the full edge view; one cached
         # materialization per round beats re-scanning the union of
         # appended batches wave after wave (dropped at round end)
@@ -1868,11 +1934,14 @@ class CrawlEngine:
         assert self.paths is not None, "bootstrap or resume first"
         cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
         if self.cfg.use_bloom and self._bloom is None:
-            # executor-side construction (treeAggregate of partials) —
-            # the driver never materializes the URL set for the filter
-            self._bloom = bloom_from_dataframe(
-                self.resources, "url", self.cfg.bloom_capacity,
-                self.cfg.bloom_fpp)
+            # executor-side construction — the driver never
+            # materializes the URL set for the filter, only the
+            # fixed-size word array
+            self._bloom = BloomFilter.build(
+                self.spark, self.resources, "url",
+                self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+            # the full build covers any batches queued before it
+            self._pending_bloom = []
         import time as _time
         while self.round < cap:
             _t = {}
@@ -1930,8 +1999,12 @@ class CrawlEngine:
                     res_rows.append(
                         (url, "done" if status == "done" else "error",
                          rnd, c))
-                    et = WARN_BY_STATUS.get(status)
-                    if et:
+                    if status != "done":
+                        # any unmapped error status warns E_UNKNOWN —
+                        # the oracle's fallback (Resource.ts:259-266
+                        # else branch), so adding a new error status
+                        # can never silently desync the counters
+                        et = WARN_BY_STATUS.get(status, "E_UNKNOWN")
                         warn_by_origin.setdefault(origin, []).append(et)
                 res_up = self.spark.createDataFrame(
                     res_rows,

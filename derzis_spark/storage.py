@@ -39,7 +39,8 @@ class SnapshotStore:
 
     def commit(self, spark, rnd: int, tables: dict, metrics: dict,
                seq_counter: int, partition_by: dict | None = None,
-               bucket_by: dict | None = None) -> dict:
+               bucket_by: dict | None = None,
+               steps: list | None = None) -> dict:
         """Write ``tables`` (name → DataFrame) + manifest for round ``rnd``.
 
         ``bucket_by`` maps table name → (key_column, n_buckets): the
@@ -95,6 +96,9 @@ class SnapshotStore:
         manifest = {
             "round": rnd,
             "seq_counter": seq_counter,
+            #: per-step config log — the cross-run validator's
+            #: precondition surface (scripts/compare_runs.py)
+            "steps": list(steps or []),
             "tables": {
                 name: {
                     "path": os.path.join(rdir, name),

@@ -1,0 +1,56 @@
+"""Size-gated broadcast hints (VERDICT r2 #3): above
+``cfg.broadcast_key_limit`` the triple-MERGE / cache-probe / endpoint
+min-merge joins must drop their explicit broadcast hints (letting AQE
+pick the join from actual sizes — a mega-round side would blow the 8 GB
+broadcast hard limit) while producing the identical crawl."""
+
+from derzis_spark.config import CrawlConfig
+from derzis_spark.engine import CrawlEngine
+from derzis_spark.fixtures import generate_fixture
+from derzis_spark.oracle import run_oracle_on_fixture
+from tests.conftest import fixture_dataframes
+from tests.test_engine_matches_oracle import assert_match
+
+
+def test_maybe_bcast_drops_hint_above_gate(spark):
+    a = spark.range(100).selectExpr("id", "id * 2 AS v")
+    b = spark.range(50).selectExpr("id")
+    cfg_engine = CrawlEngine(
+        spark,
+        spark.createDataFrame([], "url string"),
+        spark.createDataFrame([], "origin string"),
+        CrawlConfig(broadcast_key_limit=64))
+    under = a.join(cfg_engine._maybe_bcast(b, 50), "id")
+    over = a.join(cfg_engine._maybe_bcast(b, 65), "id")
+    under_plan = under._jdf.queryExecution().optimizedPlan().toString()
+    over_plan = over._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in under_plan.lower()
+    assert "broadcast" not in over_plan.lower()
+
+
+def test_over_threshold_crawl_exact_match(spark):
+    """broadcast_key_limit=0 forces the shuffle path for EVERY gated
+    join (merge collision scan, merge update, fresh-key anti-join,
+    cache probe, endpoint min-merge) — the crawl must still match the
+    oracle bit-for-bit."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=12,
+                      broadcast_key_limit=0)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=12)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=12)
+    assert_match(oracle, engine)
+
+
+def test_over_threshold_endpoint_crawl_exact_match(spark):
+    fx = generate_fixture(n_pages=80, n_origins=5, n_seeds=3, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=10,
+                      path_type="endpoint", broadcast_key_limit=0)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=10)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=10)
+    assert_match(oracle, engine)
