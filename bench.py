@@ -196,7 +196,21 @@ def run_queries(spark, sf_dir: str) -> dict:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
+
     return out
+
+
+def run_fast_variants(spark, sf_dir: str) -> dict:
+    """Production fast-path A/B (BENCH/BASELINE.md §7): xxhash64 token
+    hashing vs the oracle-parity md5 path — not a queries() entry
+    (xxhash64 has no DuckDB equivalent), benched here instead and kept
+    OUT of the headline total so round-over-round totals stay
+    comparable."""
+    from derzis_spark.pipeline_queries import q_minhash64_signatures_fast
+
+    t0 = time.time()
+    q_minhash64_signatures_fast(spark, sf_dir).count()
+    return {"minhash64_signatures_fast": round(time.time() - t0, 3)}
 
 
 def _subprocess_json(args: list[str]) -> dict:
@@ -256,6 +270,7 @@ def main() -> None:
         return
 
     queries = run_queries(spark, sf_dir)
+    fast = run_fast_variants(spark, sf_dir)
     crawl = run_crawl(spark)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -268,6 +283,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "fast_variants": fast,
         "sf": sf,
         "crawl": crawl,
         "cores": cores,

@@ -56,16 +56,24 @@ SQL_DEDUP_EXACT = """
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures over token sets: sig_h = min(md5(h || token))
     for h in 0..7. Cross-engine identical because md5 hex strings
-    compare identically."""
+    compare identically.
+
+    Computed as 8 ``min`` aggregations in ONE map-side-combinable
+    hash-agg pass over the token rows (the ``q_minhash64_signatures``
+    shape) — no 8× crossJoin row explosion through the shuffle; the
+    8 md5 calls per token are the operator's definition."""
     d = load(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_words()).alias("w"))
-    h = spark.range(N_MINHASH).select(F.col("id").alias("h"))
-    return (
-        tokens.crossJoin(h)
-        .groupBy("doc_id", "h")
-        .agg(F.min(F.md5(F.concat(F.col("h").cast("string"),
-                                  F.col("w")).cast("binary"))).alias("sig"))
-    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(h)), F.col("w"))
+                    .cast("binary"))).alias(f"s{h}")
+        for h in range(N_MINHASH)]
+    wide = tokens.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{h}") for h in range(N_MINHASH)]))
+        .alias("h", "sig"),
+    ).select("doc_id", F.col("h").cast("long").alias("h"), "sig")
 
 SQL_MINHASH_SIGNATURES = f"""
   SELECT d.doc_id, t.h, MIN(md5(CAST(t.h AS VARCHAR) || u.w)) AS sig
@@ -111,24 +119,28 @@ SQL_MINHASH_LSH_BUCKETS = f"""
 
 def q_simhash(spark, sf_dir):
     """SimHash (16-bit) over tokens: bit k votes by the parity of hex
-    digit k of md5(token); fingerprint = Σ bit_k·2^k."""
+    digit k of md5(token); fingerprint = Σ bit_k·2^k.
+
+    The 16 bit votes are 16 conditional ``sum`` aggregations in ONE
+    map-side-combinable hash-agg pass (the ``q_minhash64_signatures``
+    shape) — one md5 per token, no 16× crossJoin row explosion through
+    the shuffle, all whole-stage-codegen JVM exprs."""
     d = load(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_words()).alias("w")) \
         .withColumn("wh", F.md5(F.col("w").cast("binary")))
-    k = spark.range(16).select(F.col("id").alias("k"))
-    votes = tokens.crossJoin(k).select(
-        "doc_id", "k",
-        F.when(
-            (F.instr(F.lit("0123456789abcdef"),
-                     F.substring(F.col("wh"), (F.col("k") + 1).cast("int"), 1)
-                     .cast("string")) - 1) % 2 == 1,
-            F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
-    )
-    bits = votes.groupBy("doc_id", "k").agg(
-        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bit"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("k")).cast("long"))
-        .cast("long").alias("simhash"))
+
+    def vote(k: int):
+        digit = F.substring(F.col("wh"), k + 1, 1)
+        odd = (F.instr(F.lit("0123456789abcdef"), digit) - 1) % 2 == 1
+        return F.when(odd, F.lit(1)).otherwise(F.lit(-1))
+
+    votes = tokens.groupBy("doc_id").agg(
+        *[F.sum(vote(k)).alias(f"v{k}") for k in range(16)])
+    fp = None
+    for k in range(16):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 SQL_SIMHASH = """
   WITH tokens AS (
@@ -150,53 +162,73 @@ SQL_SIMHASH = """
 """
 
 
+#: all-pairs candidate generation only inside LSH buckets up to this
+#: size; bigger buckets fall back to representative (keeper) edges so
+#: one dup-heavy bucket can never go quadratic
+JACCARD_BUCKET_CAP = 64
+
+
 def q_jaccard_near_dup(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs, bucketed by source (candidate
-    pruning keeps pairs O(bucket²), not O(n²)): pairs with J ≥ 0.8."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source",
-                    F.explode(F.array_distinct(_words())).alias("w"))
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.select("source", F.col("doc_id").alias("a"), "w")
-    b = toks.select("source", F.col("doc_id").alias("b"), "w")
-    inter = (
-        a.join(b, ["source", "w"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    """Token-set Jaccard near-dup pairs (J ≥ 0.8), candidate-blocked by
+    the MinHash-LSH bands of ``q_minhash64_signatures`` — NOT by a
+    token-level self-join (whose worst-case is quadratic in the docs
+    sharing a token). Buckets up to ``JACCARD_BUCKET_CAP`` members emit
+    all intra-bucket pairs (the complete near-dup pair list); larger
+    buckets emit representative member→bucket-min edges (O(n) — any
+    bucket that large is one dup cluster, and the keeper edge is what
+    dedup consumes). Survivors are verified with exact token-set
+    Jaccard via a JVM ``array_intersect`` on the docs' distinct-token
+    arrays — no token row explosion anywhere in the plan."""
+    rpb = MINHASH64_ROWS_PER_BAND
+    cap = JACCARD_BUCKET_CAP
+    sigs = q_minhash64_signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band_id", (F.col("h") / rpb).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "sig"))),
+            lambda s: s["sig"].cast("string"))).alias("band_value"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    binfo = bands.groupBy("band_id", "band_value").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("bmin"))
+    bx = bands.join(binfo, ["band_id", "band_value"])
+    small = bx.filter(F.col("bsz") <= cap)
+    pairs_small = (
+        small.select("band_id", "band_value", F.col("doc_id").alias("a"))
+        .join(small.select("band_id", "band_value",
+                           F.col("doc_id").alias("b")),
+              ["band_id", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs_large = (
+        bx.filter((F.col("bsz") > cap) & (F.col("doc_id") > F.col("bmin")))
+        .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairs_small.unionByName(pairs_large).distinct()
+    d = load(spark, sf_dir, "documents")
+    tarr = d.select("doc_id", F.array_distinct(_words()).alias("ta"))
     return (
-        inter.join(sa, "a").join(sb, "b")
+        cand.join(tarr.select(F.col("doc_id").alias("a"),
+                              F.col("ta").alias("t_a")), "a")
+        .join(tarr.select(F.col("doc_id").alias("b"),
+                          F.col("ta").alias("t_b")), "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("t_a", "t_b")).alias("n_common"),
+            F.size("t_a").alias("sz_a"), F.size("t_b").alias("sz_b"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6))
-        .filter(F.col("jaccard") >= 0.8)
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                    6))
+        .filter((F.col("n_common") > 0) & (F.col("jaccard") >= 0.8))
         .select("a", "b", "n_common", "jaccard")
     )
 
-SQL_JACCARD_NEAR_DUP = """
-  WITH toks AS (
-    SELECT DISTINCT d.doc_id, d.source, u.w
-    FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(w)
-  ),
-  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
-  inter AS (
-    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
-    FROM toks x JOIN toks y ON x.source = y.source AND x.w = y.w
-    WHERE x.doc_id < y.doc_id
-    GROUP BY x.doc_id, y.doc_id
-  )
-  SELECT i.a, i.b, i.n_common,
-         ROUND(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.a
-  JOIN sizes sb ON sb.doc_id = i.b
-  WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.8
-"""
 
-
+# (SQL_JACCARD_NEAR_DUP is defined below SQL_MINHASH64_SIGNATURES,
+# which its banding CTE embeds)
 N_MINHASH64 = 64
 MINHASH64_ROWS_PER_BAND = 8  # 8 bands × 8 rows → LSH threshold ≈ 0.77
 #: Mersenne prime 2^31-1: a*x+b stays < 2^62, so the affine permuters
@@ -261,6 +293,34 @@ SQL_MINHASH64_SIGNATURES = f"""
   (VALUES {_PERM_VALUES}) AS p(h, a, b)
   GROUP BY t.doc_id, p.h
 """
+
+
+def q_minhash64_signatures_fast(spark, sf_dir):
+    """Production fast path for ``q_minhash64_signatures``: the token
+    base hash is ``xxhash64`` (one 64-bit JVM hash, no md5 + hex-string
+    + base-16 parse), everything else identical — 64 affine permuters
+    as 64 min-aggs in one hash-agg pass. xxhash64 has no DuckDB
+    equivalent, so this variant is benched (BENCH/BASELINE.md §7 A/B)
+    rather than oracle-checked; the md5 variant stays the cross-engine
+    parity surface. At 100 TB this is the one to run: the md5 path's
+    only cost over it is the per-token digest."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(_words()).alias("w")
+    ).select("doc_id",
+             F.pmod(F.xxhash64(F.col("w")),
+                    F.lit(MINHASH64_P)).alias("bm"))
+    aggs = [
+        F.min((F.lit(a) * F.col("bm") + F.lit(b)) % F.lit(MINHASH64_P))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH64_AB)]
+    wide = tokens.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{i}")
+                               for i in range(N_MINHASH64)]))
+        .alias("h", "sig"),
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "sig")
 
 
 def q_jaccard_lsh_pairs(spark, sf_dir):
@@ -352,6 +412,54 @@ SQL_JACCARD_LSH_PAIRS = f"""
               / (sz_a + sz_b - n_common), 6) >= 0.8
 """
 
+SQL_JACCARD_NEAR_DUP = f"""
+  WITH sigs AS ({SQL_MINHASH64_SIGNATURES}),
+  bands AS (
+    SELECT doc_id, CAST(h // {MINHASH64_ROWS_PER_BAND} AS INT) AS band_id,
+           string_agg(CAST(sig AS VARCHAR), '|' ORDER BY h) AS band_value
+    FROM sigs GROUP BY doc_id, band_id
+  ),
+  binfo AS (
+    SELECT band_id, band_value, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+    FROM bands GROUP BY band_id, band_value
+  ),
+  bx AS (
+    SELECT b.doc_id, b.band_id, b.band_value, i.bsz, i.bmin
+    FROM bands b JOIN binfo i
+      ON b.band_id = i.band_id AND b.band_value = i.band_value
+  ),
+  cand AS (
+    SELECT DISTINCT a, b FROM (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM bx x JOIN bx y
+        ON x.band_id = y.band_id AND x.band_value = y.band_value
+      WHERE x.bsz <= {JACCARD_BUCKET_CAP} AND x.doc_id < y.doc_id
+      UNION ALL
+      SELECT bmin AS a, doc_id AS b
+      FROM bx WHERE bsz > {JACCARD_BUCKET_CAP} AND doc_id > bmin
+    )
+  ),
+  tarr AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ta
+    FROM documents
+  ),
+  scored AS (
+    SELECT c.a, c.b,
+           len(list_intersect(x.ta, y.ta)) AS n_common,
+           len(x.ta) AS sz_a, len(y.ta) AS sz_b
+    FROM cand c
+    JOIN tarr x ON x.doc_id = c.a
+    JOIN tarr y ON y.doc_id = c.b
+  )
+  SELECT a, b, n_common,
+         ROUND(CAST(n_common AS DOUBLE)
+               / (sz_a + sz_b - n_common), 6) AS jaccard
+  FROM scored
+  WHERE n_common > 0
+    AND ROUND(CAST(n_common AS DOUBLE)
+              / (sz_a + sz_b - n_common), 6) >= 0.8
+"""
+
 
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
@@ -409,47 +517,92 @@ SQL_ANN_BRUTEFORCE = """
 """
 
 
-def q_ann_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH for ANN at scale: 4 deterministic planes
-    (the embeddings of vec_ids 1..4) → 4 sign bits → bucket id; report
-    bucket occupancy (the candidate sets a bucketed ANN probes)."""
-    e = load(spark, sf_dir, "embeddings")
-    planes = e.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+#: hyperplane-LSH band width: buckets are per (band, 4-bit value)
+HYPERPLANE_BITS_PER_BAND = 4
+
+
+def _n_hyperplanes(n: int) -> int:
+    """Scale-parameterized plane count: ~log2(corpus) sign bits keep the
+    expected same-bucket occupancy O(1) as n grows (fixed bits ⇒ the
+    same-bucket pair join goes O(n²/2^bits) ⇒ quadratic), rounded up to
+    a whole number of ``HYPERPLANE_BITS_PER_BAND``-bit bands."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(int(n), 2))))
+    rb = HYPERPLANE_BITS_PER_BAND
+    return rb * math.ceil(bits / rb)
+
+#: DuckDB mirror of _n_hyperplanes(count(*)) — both engines derive the
+#: identical plane count from the same table
+_SQL_HP_PARAMS = f"""
+    SELECT {HYPERPLANE_BITS_PER_BAND} * CAST(CEIL(
+             GREATEST(4, CEIL(LOG2(GREATEST(COUNT(*), 2))))
+             / {HYPERPLANE_BITS_PER_BAND}.0) AS INT) AS p
+    FROM embeddings
+"""
+
+
+def _hyperplane_buckets(spark, e):
+    """(vec_id, band_id, bucket) from P = _n_hyperplanes(|e|) sign bits
+    (planes = the embeddings of vec_ids 1..P — deterministic and
+    derivable by both engines), banded 4 bits per band. The plane side
+    is dimension-sized (broadcast); the bit votes aggregate with
+    map-side combine on (vec_id, band_id)."""
+    n = e.count()
+    p = _n_hyperplanes(n)
+    rb = HYPERPLANE_BITS_PER_BAND
+    planes = e.filter(F.col("vec_id").between(1, p)).select(
         F.col("vec_id").alias("plane_id"),
         F.col("embedding").alias("plane"))
-    bits = (
+    return (
         e.crossJoin(F.broadcast(planes))
-        .withColumn("bit",
-                    F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
-                    .otherwise(0))
-        .groupBy("vec_id")
-        .agg(F.sum(
-            F.col("bit")
-            * F.pow(F.lit(2.0), F.col("plane_id") - 1).cast("long")
-        ).cast("long").alias("bucket"))
+        .select(
+            "vec_id",
+            ((F.col("plane_id") - 1) / rb).cast("int").alias("band_id"),
+            (F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
+             .otherwise(0)
+             * F.pow(F.lit(2.0), (F.col("plane_id") - 1) % rb)
+             .cast("long")).alias("bitval"))
+        .groupBy("vec_id", "band_id")
+        .agg(F.sum("bitval").cast("long").alias("bucket"))
     )
-    return bits.groupBy("bucket").agg(
-        F.count("*").alias("bucket_size"),
-        F.min("vec_id").alias("min_vec_id"))
 
-SQL_ANN_LSH_BUCKETS = """
-  WITH planes AS (
-    SELECT vec_id AS plane_id, embedding AS plane
-    FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
-  ),
-  bits AS (
+_SQL_HP_BUCKETS = f"""
     SELECT e.vec_id,
+           CAST((p.plane_id - 1) // {HYPERPLANE_BITS_PER_BAND} AS INT)
+             AS band_id,
            CAST(SUM(
              (CASE WHEN list_aggregate(list_transform(range(1, 65),
                i -> e.embedding[i]::DOUBLE * p.plane[i]::DOUBLE), 'sum') > 0
                THEN 1 ELSE 0 END)
-             * CAST(POW(2.0, p.plane_id - 1) AS BIGINT)
+             * CAST(POW(2.0, (p.plane_id - 1) % {HYPERPLANE_BITS_PER_BAND})
+                    AS BIGINT)
            ) AS BIGINT) AS bucket
-    FROM embeddings e, planes p
-    GROUP BY e.vec_id
-  )
-  SELECT bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
-  FROM bits GROUP BY bucket
+    FROM embeddings e,
+         (SELECT vec_id AS plane_id, embedding AS plane
+          FROM embeddings, ({_SQL_HP_PARAMS}) params
+          WHERE vec_id BETWEEN 1 AND params.p) p
+    GROUP BY e.vec_id, band_id
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH for ANN at scale: P = ~log2(n) sign bits
+    (planes = embeddings of vec_ids 1..P), banded 4 bits per band;
+    reports per-(band, bucket) occupancy — the candidate sets a
+    bucketed ANN probes. Plane count grows with the corpus so bucket
+    occupancy (and thus any same-bucket pair join) stays bounded at
+    100× the data; banding keeps recall (a near pair only needs to
+    agree in ONE band)."""
+    e = load(spark, sf_dir, "embeddings")
+    return _hyperplane_buckets(spark, e).groupBy("band_id", "bucket").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("vec_id").alias("min_vec_id"))
+
+SQL_ANN_LSH_BUCKETS = f"""
+  WITH bits AS ({_SQL_HP_BUCKETS})
+  SELECT band_id, bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+  FROM bits GROUP BY band_id, bucket
 """
 
 
@@ -604,67 +757,52 @@ SQL_ANN_IVF = f"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection, LSH-blocked: 4-bit
-    random-hyperplane signature (planes = vec_ids 1..4) buckets the
-    corpus; exact cosine runs only on same-bucket pairs; pairs with
-    cosine ≥ 0.2 are near-dups. At scale the bucket join replaces the
-    O(n²) self-join — the pair count drops by ~2^bits."""
+    """Embedding-cosine near-duplicate detection, banded-LSH-blocked:
+    P = ~log2(n) hyperplane sign bits in 4-bit bands (the
+    ``_hyperplane_buckets`` scheme — bits grow with the corpus, so the
+    same-bucket pair join stays bounded at 100× the data; fixed bits
+    would go O(n²/2^bits)); candidate pairs share a bucket in ANY band
+    (banding keeps recall), deduped, then exact cosine ≥ 0.2 verifies.
+    The same shape as ``q_jaccard_lsh_pairs``: band → bucket join →
+    exact verify — the 100-TB near-dup plan."""
     e = load(spark, sf_dir, "embeddings")
-    planes = e.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
-        F.col("vec_id").alias("plane_id"),
-        F.col("embedding").alias("plane"))
-    sig = (
-        e.crossJoin(F.broadcast(planes))
-        .withColumn("bit",
-                    F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
-                    .otherwise(0))
-        .groupBy("vec_id")
-        .agg(F.sum(
-            F.col("bit")
-            * F.pow(F.lit(2.0), F.col("plane_id") - 1).cast("long")
-        ).cast("long").alias("bucket"))
-        .join(e, "vec_id")
-        .select("vec_id", "bucket", "embedding")
-    )
-    a = sig.select(F.col("vec_id").alias("a_id"), "bucket",
-                   F.col("embedding").alias("a_emb"))
-    b = sig.select(F.col("vec_id").alias("b_id"), "bucket",
-                   F.col("embedding").alias("b_emb"))
-    pairs = (
-        a.join(b, "bucket")
+    sig = _hyperplane_buckets(spark, e)
+    cand = (
+        sig.select("band_id", "bucket", F.col("vec_id").alias("a_id"))
+        .join(sig.select("band_id", "bucket",
+                         F.col("vec_id").alias("b_id")),
+              ["band_id", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id").distinct()
+    )
+    va = e.select(F.col("vec_id").alias("a_id"),
+                  F.col("embedding").alias("a_emb"))
+    vb = e.select(F.col("vec_id").alias("b_id"),
+                  F.col("embedding").alias("b_emb"))
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
         .withColumn("cosine", F.round(
             _dot(F.col("a_emb"), F.col("b_emb"))
             / (F.sqrt(_dot(F.col("a_emb"), F.col("a_emb")))
                * F.sqrt(_dot(F.col("b_emb"), F.col("b_emb")))), 4))
         .filter(F.col("cosine") >= 0.2)
+        .select("a_id", "b_id", "cosine")
     )
-    return pairs.select("bucket", "a_id", "b_id", "cosine")
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-  WITH planes AS (
-    SELECT vec_id AS plane_id, embedding AS plane
-    FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
-  ),
-  sig AS (
-    SELECT e.vec_id,
-           CAST(SUM(
-             (CASE WHEN list_aggregate(list_transform(range(1, 65),
-               i -> e.embedding[i]::DOUBLE * p.plane[i]::DOUBLE), 'sum') > 0
-               THEN 1 ELSE 0 END)
-             * CAST(POW(2.0, p.plane_id - 1) AS BIGINT)
-           ) AS BIGINT) AS bucket
-    FROM embeddings e, planes p
-    GROUP BY e.vec_id
-  ),
-  vecs AS (
-    SELECT s.vec_id, s.bucket, e.embedding
-    FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+  WITH bits AS ({_SQL_HP_BUCKETS}),
+  cand AS (
+    SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+    FROM bits x JOIN bits y
+      ON x.band_id = y.band_id AND x.bucket = y.bucket
+    WHERE x.vec_id < y.vec_id
   )
-  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+  SELECT c.a_id, c.b_id,
          ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 4)
            AS cosine
-  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.a_id
+  JOIN embeddings b ON b.vec_id = c.b_id
   WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 4) >= 0.2
 """
 
