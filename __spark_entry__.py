@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_upsert": Q.q_label_upsert,
         # §2.7 scalar functions
         "next_allowed_calc": Q.q_next_allowed_calc,
+        # §2.1 export sinks + progress/diagnostic queries
+        "json_export": Q.q_json_export,
+        "path_progress": Q.q_path_progress,
+        "label_data_lookup": Q.q_label_data_lookup,
+        "seed_graph_edges": Q.q_seed_graph_edges,
         # training-data pipeline: dedup
         "dedup_exact": P.q_dedup_exact,
         "minhash_signatures": P.q_minhash_signatures,
@@ -158,6 +163,10 @@ def oracle_sql() -> dict[str, str]:
         "label_fetch_batching": Q.SQL_LABEL_FETCH_BATCHING,
         "label_upsert": Q.SQL_LABEL_UPSERT,
         "next_allowed_calc": Q.SQL_NEXT_ALLOWED_CALC,
+        "json_export": Q.SQL_JSON_EXPORT,
+        "path_progress": Q.SQL_PATH_PROGRESS,
+        "label_data_lookup": Q.SQL_LABEL_DATA_LOOKUP,
+        "seed_graph_edges": Q.SQL_SEED_GRAPH_EDGES,
         "dedup_exact": P.SQL_DEDUP_EXACT,
         "minhash_signatures": P.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_buckets": P.SQL_MINHASH_LSH_BUCKETS,

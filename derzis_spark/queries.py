@@ -950,3 +950,259 @@ SQL_ALTERNATE_REDIRECTS = f"""
   FROM chase c JOIN nodes n ON n.node = c.cur
   WHERE n.is_html AND c.fetched = 4
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.1 export sinks + progress/diagnostic queries (round-3 additions)
+# ---------------------------------------------------------------------------
+
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+RDFS_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
+
+
+def q_json_export(spark, sf_dir):
+    """JSON export sinks — getTriplesJson / getDomainsJson /
+    getResourcesJson (models/src/Process/process-data.ts:143-166) as ONE
+    distributed projection: a (kind, json) line per triple, domain and
+    resource, in the reference's JSON.stringify shape (named-node
+    triples carry the object inline, literal triples carry
+    {value, language}; domains/resources serialize to a bare quoted
+    string). Pure JVM concat exprs — the substrate's values are
+    JSON-safe by construction; a free-text corpus would swap the concat
+    for ``to_json(struct(...))`` + an escaping expression."""
+    l = links_view(spark, sf_dir)
+    p = pages_view(spark, sf_dir)
+    named = l.select(
+        F.lit("triple").alias("kind"),
+        F.concat(
+            F.lit('{"subject":"'), F.col("src_url"),
+            F.lit('","predicate":"'), F.col("predicate"),
+            F.lit('","object":"'), F.col("dst_url"),
+            F.lit('","type":"namedNode"}')).alias("json"))
+    lits = p.filter(F.col("lang") != "").select(
+        F.lit("triple").alias("kind"),
+        F.concat(
+            F.lit('{"subject":"'), F.col("url"),
+            F.lit('","predicate":"' + RDFS_LABEL
+                  + '","object":{"value":"doc-'),
+            F.col("doc_id").cast("string"),
+            F.lit('","language":"'), F.col("lang"),
+            F.lit('"},"type":"literal"}')).alias("json"))
+    domains = p.select("origin").distinct().select(
+        F.lit("domain").alias("kind"),
+        F.concat(F.lit('"'), F.col("origin"), F.lit('"')).alias("json"))
+    resources = p.select(
+        F.lit("resource").alias("kind"),
+        F.concat(F.lit('"'), F.col("url"), F.lit('"')).alias("json"))
+    return (named.unionByName(lits).unionByName(domains)
+            .unionByName(resources))
+
+SQL_JSON_EXPORT = f"""
+  WITH pages AS ({PAGES_SQL}), links AS ({LINKS_SQL})
+  SELECT 'triple' AS kind,
+         '{{"subject":"' || src_url || '","predicate":"' || predicate
+           || '","object":"' || dst_url || '","type":"namedNode"}}' AS json
+  FROM links
+  UNION ALL
+  SELECT 'triple' AS kind,
+         '{{"subject":"' || url
+           || '","predicate":"{RDFS_LABEL}","object":{{"value":"doc-'
+           || CAST(doc_id AS VARCHAR) || '","language":"' || lang
+           || '"}},"type":"literal"}}' AS json
+  FROM pages WHERE lang <> ''
+  UNION ALL
+  SELECT 'domain' AS kind, '"' || origin || '"' AS json
+  FROM (SELECT DISTINCT origin FROM pages)
+  UNION ALL
+  SELECT 'resource' AS kind, '"' || url || '"' AS json FROM pages
+"""
+
+
+def q_path_progress(spark, sf_dir):
+    """getPathProgress (process-data.ts:565-585, reference test
+    process-progress.test.ts:35-111): remaining work = active paths
+    matching the current step constraints (length under the step's
+    maxPathLength) whose head resource is still unvisited; crawling and
+    checking are structurally 0 in the round-synchronous model (no
+    in-flight jobs between rounds). Reported per pathLength — the
+    reference's totals are the column sums — so operators can see WHERE
+    the remaining frontier sits. One groupBy, map-side combinable."""
+    max_len = 3  # step constraint (maxPathLength analog)
+    paths = paths_view(spark, sf_dir)
+    p = pages_view(spark, sf_dir)
+    statuses = p.select(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("done"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.lit(None).cast("string")).alias("res_status"))
+    return (
+        paths.join(statuses, paths.head_url == statuses.url, "left")
+        .withColumn("status",
+                    F.coalesce("res_status", F.lit("unvisited")))
+        .filter(F.col("length") < max_len)
+        .groupBy("length").agg(
+            F.sum(F.when(F.col("status") == "unvisited", 1).otherwise(0))
+            .cast("bigint").alias("unvisited"),
+            F.lit(0).cast("bigint").alias("crawling"),
+            F.lit(0).cast("bigint").alias("checking"))
+    )
+
+SQL_PATH_PROGRESS = f"""
+  WITH pages AS ({PAGES_SQL}), paths AS ({PATHS_SQL}),
+  statuses AS (
+    SELECT url, CASE WHEN doc_id % 3 = 0 THEN 'done'
+                     WHEN doc_id % 7 = 0 THEN 'error' END AS res_status
+    FROM pages
+  )
+  SELECT p.length,
+         CAST(SUM(CASE WHEN COALESCE(s.res_status, 'unvisited')
+                            = 'unvisited' THEN 1 ELSE 0 END) AS BIGINT)
+           AS unvisited,
+         CAST(0 AS BIGINT) AS crawling,
+         CAST(0 AS BIGINT) AS checking
+  FROM paths p LEFT JOIN statuses s ON p.head_url = s.url
+  WHERE p.length < 3
+  GROUP BY p.length
+"""
+
+
+def q_label_data_lookup(spark, sf_dir):
+    """getLabelDataForUrls (process-data.ts:29-77): given a URL set,
+    fetch its rdfs:label / rdfs:comment literal triples and group them
+    by subject, returning only URLs that HAVE label data. The label
+    store is dimension-thin next to the triple store, so the lookup is
+    a broadcast-friendly equi-join; values are aggregated into one
+    sorted string per URL so the result hashes deterministically."""
+    p = pages_view(spark, sf_dir)
+    urls = p.filter(F.col("doc_id") % 6 == 0).select("url")
+    labels = p.filter(F.col("lang") != "").select(
+        "url", F.lit(RDFS_LABEL).alias("predicate"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("value"), F.col("lang"))
+    comments = p.filter(F.col("doc_id") % 3 == 0).select(
+        "url", F.lit(RDFS_COMMENT).alias("predicate"),
+        F.concat(F.lit("about doc "), F.col("doc_id").cast("string"))
+        .alias("value"), F.lit("en").alias("lang"))
+    trip = labels.unionByName(comments)
+    return (
+        urls.join(trip, "url")
+        .groupBy("url").agg(
+            F.count("*").cast("bigint").alias("n_triples"),
+            F.array_join(F.sort_array(F.collect_list(F.concat_ws(
+                "|", "predicate", "value", "lang"))), ";")
+            .alias("triples"))
+    )
+
+SQL_LABEL_DATA_LOOKUP = f"""
+  WITH pages AS ({PAGES_SQL}),
+  trip AS (
+    SELECT url, '{RDFS_LABEL}' AS predicate,
+           'doc-' || CAST(doc_id AS VARCHAR) AS value, lang
+    FROM pages WHERE lang <> ''
+    UNION ALL
+    SELECT url, '{RDFS_COMMENT}' AS predicate,
+           'about doc ' || CAST(doc_id AS VARCHAR) AS value, 'en' AS lang
+    FROM pages WHERE doc_id % 3 = 0
+  )
+  SELECT u.url, CAST(COUNT(*) AS BIGINT) AS n_triples,
+         string_agg(t.predicate || '|' || t.value || '|' || t.lang, ';'
+                    ORDER BY t.predicate || '|' || t.value || '|' || t.lang)
+           AS triples
+  FROM (SELECT url FROM pages WHERE doc_id % 6 = 0) u
+  JOIN trip t ON t.url = u.url
+  GROUP BY u.url
+"""
+
+
+#: seed-graph BFS: selected predicates and hop budget
+#: (manager/src/lib/seed-graph-utils.ts:31-93)
+SEED_GRAPH_PREDS = tuple(
+    f"http://example.org/pred/p{i}" for i in (0, 1, 2))
+SEED_GRAPH_MAX_HOPS = 3
+
+
+def q_seed_graph_edges(spark, sf_dir):
+    """Seed-graph edge aggregation (seed-graph-utils.ts:1-155):
+    BFS min-hop distances from the seed set over the selected
+    predicates — each expansion direction gated by the predicate's
+    branch factor exactly as ``directionOk`` (subject→object needs
+    ratio ≥ 0.83, object→subject needs ratio ≤ 1.2) — then keep the
+    triples whose endpoints sit at CONSECUTIVE hop levels
+    (filterTriplesByConsecutiveHops). Level-synchronous distributed
+    BFS: ``maxHops`` rounds of join + anti-join against the visited
+    set — identical min-hop map to the reference's queue BFS, with no
+    driver-side frontier."""
+    l = links_view(spark, sf_dir).select(
+        "src_url", "dst_url", "predicate").distinct()
+    sel = list(SEED_GRAPH_PREDS)
+    bf = (l.filter(F.col("predicate").isin(sel))
+          .groupBy("predicate").agg(
+              (F.countDistinct("src_url").cast("double")
+               / F.countDistinct("dst_url")).alias("ratio")))
+    edges = (l.join(F.broadcast(bf), "predicate")
+             .select("src_url", "dst_url", "predicate", "ratio")
+             .localCheckpoint(eager=True))
+    p = pages_view(spark, sf_dir)
+    seeds = p.filter(F.col("doc_id") % 97 == 0).select("url")
+    hops = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for k in range(1, SEED_GRAPH_MAX_HOPS + 1):
+        fwd = (frontier.join(edges, frontier.url == edges.src_url)
+               .filter(F.col("ratio") >= 0.83)
+               .select(F.col("dst_url").alias("url")))
+        bwd = (frontier.join(edges, frontier.url == edges.dst_url)
+               .filter(F.col("ratio") <= 1.2)
+               .select(F.col("src_url").alias("url")))
+        nxt = (fwd.unionByName(bwd).distinct()
+               .join(hops.select("url"), "url", "left_anti")
+               .withColumn("hop", F.lit(k))
+               .localCheckpoint(eager=True))
+        hops = hops.unionByName(nxt)
+        frontier = nxt.select("url")
+    hs = hops.select(F.col("url").alias("src_url"),
+                     F.col("hop").alias("subject_hop"))
+    ho = hops.select(F.col("url").alias("dst_url"),
+                     F.col("hop").alias("object_hop"))
+    return (
+        l.join(hs, "src_url").join(ho, "dst_url")
+        .filter(F.abs(F.col("subject_hop") - F.col("object_hop")) == 1)
+        .select(F.col("src_url").alias("subject"), "predicate",
+                F.col("dst_url").alias("object"),
+                F.col("subject_hop").cast("int").alias("subject_hop"),
+                F.col("object_hop").cast("int").alias("object_hop"))
+    )
+
+SQL_SEED_GRAPH_EDGES = f"""
+  WITH RECURSIVE pages AS ({PAGES_SQL}), links AS ({LINKS_SQL}),
+  l AS (SELECT DISTINCT src_url, dst_url, predicate FROM links),
+  bf AS (
+    SELECT predicate,
+           CAST(COUNT(DISTINCT src_url) AS DOUBLE)
+             / COUNT(DISTINCT dst_url) AS ratio
+    FROM l
+    WHERE predicate IN ({", ".join(repr(s) for s in SEED_GRAPH_PREDS)})
+    GROUP BY predicate
+  ),
+  edges AS (
+    SELECT x.src_url, x.dst_url, x.predicate, b.ratio
+    FROM l x JOIN bf b ON b.predicate = x.predicate
+  ),
+  walk(url, hop) AS (
+    SELECT url, 0 FROM pages WHERE doc_id % 97 = 0
+    UNION
+    SELECT CASE WHEN e.src_url = w.url THEN e.dst_url
+                ELSE e.src_url END, w.hop + 1
+    FROM walk w JOIN edges e
+      ON (e.src_url = w.url AND e.ratio >= 0.83)
+      OR (e.dst_url = w.url AND e.ratio <= 1.2)
+    WHERE w.hop < {SEED_GRAPH_MAX_HOPS}
+  ),
+  hops AS (SELECT url, MIN(hop) AS hop FROM walk GROUP BY url)
+  SELECT x.src_url AS subject, x.predicate, x.dst_url AS object,
+         CAST(hs.hop AS INT) AS subject_hop,
+         CAST(ho.hop AS INT) AS object_hop
+  FROM l x
+  JOIN hops hs ON hs.url = x.src_url
+  JOIN hops ho ON ho.url = x.dst_url
+  WHERE ABS(hs.hop - ho.hop) = 1
+"""
