@@ -517,40 +517,42 @@ SQL_ANN_BRUTEFORCE = """
 """
 
 
-#: hyperplane-LSH band width: buckets are per (band, 4-bit value)
-HYPERPLANE_BITS_PER_BAND = 4
+#: number of hyperplane-LSH bands (the recall knob: a near pair only
+#: needs to agree in ONE band); FIXED — scale lives in the band width
+HYPERPLANE_BANDS = 2
 
 
-def _n_hyperplanes(n: int) -> int:
-    """Scale-parameterized plane count: ~log2(corpus) sign bits keep the
-    expected same-bucket occupancy O(1) as n grows (fixed bits ⇒ the
-    same-bucket pair join goes O(n²/2^bits) ⇒ quadratic), rounded up to
-    a whole number of ``HYPERPLANE_BITS_PER_BAND``-bit bands."""
+def _hp_band_width(n: int) -> int:
+    """Per-band code width w = ~log2(corpus) sign bits: 2^w buckets per
+    band keeps the expected same-bucket occupancy O(1) as n grows, so
+    the per-band pair join stays O(n·bands). The WIDTH carries the
+    scale (a fixed width ⇒ O(n²/2^w) ⇒ quadratic); the band COUNT is
+    fixed and carries recall."""
     import math
 
-    bits = max(4, math.ceil(math.log2(max(int(n), 2))))
-    rb = HYPERPLANE_BITS_PER_BAND
-    return rb * math.ceil(bits / rb)
+    return max(4, math.ceil(math.log2(max(int(n), 2))))
 
-#: DuckDB mirror of _n_hyperplanes(count(*)) — both engines derive the
-#: identical plane count from the same table
+#: DuckDB mirror of _hp_band_width(count(*)) — both engines derive the
+#: identical (width, plane-count) from the same table
 _SQL_HP_PARAMS = f"""
-    SELECT {HYPERPLANE_BITS_PER_BAND} * CAST(CEIL(
-             GREATEST(4, CEIL(LOG2(GREATEST(COUNT(*), 2))))
-             / {HYPERPLANE_BITS_PER_BAND}.0) AS INT) AS p
+    SELECT CAST(GREATEST(4, CEIL(LOG2(GREATEST(COUNT(*), 2)))) AS INT)
+             AS w,
+           {HYPERPLANE_BANDS}
+             * CAST(GREATEST(4, CEIL(LOG2(GREATEST(COUNT(*), 2))))
+                    AS INT) AS p
     FROM embeddings
 """
 
 
 def _hyperplane_buckets(spark, e):
-    """(vec_id, band_id, bucket) from P = _n_hyperplanes(|e|) sign bits
-    (planes = the embeddings of vec_ids 1..P — deterministic and
-    derivable by both engines), banded 4 bits per band. The plane side
-    is dimension-sized (broadcast); the bit votes aggregate with
-    map-side combine on (vec_id, band_id)."""
+    """(vec_id, band_id, bucket) from ``HYPERPLANE_BANDS`` bands of
+    ``w = _hp_band_width(|e|)`` sign bits each (planes = the embeddings
+    of vec_ids 1..bands·w — deterministic and derivable by both
+    engines). The plane side is dimension-sized (broadcast); the bit
+    votes aggregate with map-side combine on (vec_id, band_id)."""
     n = e.count()
-    p = _n_hyperplanes(n)
-    rb = HYPERPLANE_BITS_PER_BAND
+    w = _hp_band_width(n)
+    p = HYPERPLANE_BANDS * w
     planes = e.filter(F.col("vec_id").between(1, p)).select(
         F.col("vec_id").alias("plane_id"),
         F.col("embedding").alias("plane"))
@@ -558,10 +560,10 @@ def _hyperplane_buckets(spark, e):
         e.crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
-            ((F.col("plane_id") - 1) / rb).cast("int").alias("band_id"),
+            ((F.col("plane_id") - 1) / w).cast("int").alias("band_id"),
             (F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
              .otherwise(0)
-             * F.pow(F.lit(2.0), (F.col("plane_id") - 1) % rb)
+             * F.pow(F.lit(2.0), (F.col("plane_id") - 1) % w)
              .cast("long")).alias("bitval"))
         .groupBy("vec_id", "band_id")
         .agg(F.sum("bitval").cast("long").alias("bucket"))
@@ -569,17 +571,15 @@ def _hyperplane_buckets(spark, e):
 
 _SQL_HP_BUCKETS = f"""
     SELECT e.vec_id,
-           CAST((p.plane_id - 1) // {HYPERPLANE_BITS_PER_BAND} AS INT)
-             AS band_id,
+           CAST((p.plane_id - 1) // p.w AS INT) AS band_id,
            CAST(SUM(
              (CASE WHEN list_aggregate(list_transform(range(1, 65),
                i -> e.embedding[i]::DOUBLE * p.plane[i]::DOUBLE), 'sum') > 0
                THEN 1 ELSE 0 END)
-             * CAST(POW(2.0, (p.plane_id - 1) % {HYPERPLANE_BITS_PER_BAND})
-                    AS BIGINT)
+             * CAST(POW(2.0, (p.plane_id - 1) % p.w) AS BIGINT)
            ) AS BIGINT) AS bucket
     FROM embeddings e,
-         (SELECT vec_id AS plane_id, embedding AS plane
+         (SELECT vec_id AS plane_id, embedding AS plane, params.w
           FROM embeddings, ({_SQL_HP_PARAMS}) params
           WHERE vec_id BETWEEN 1 AND params.p) p
     GROUP BY e.vec_id, band_id
@@ -587,13 +587,13 @@ _SQL_HP_BUCKETS = f"""
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH for ANN at scale: P = ~log2(n) sign bits
-    (planes = embeddings of vec_ids 1..P), banded 4 bits per band;
-    reports per-(band, bucket) occupancy — the candidate sets a
-    bucketed ANN probes. Plane count grows with the corpus so bucket
-    occupancy (and thus any same-bucket pair join) stays bounded at
-    100× the data; banding keeps recall (a near pair only needs to
-    agree in ONE band)."""
+    """Random-hyperplane LSH for ANN at scale: ``HYPERPLANE_BANDS``
+    bands of w = ~log2(n) sign bits each (planes = embeddings of
+    vec_ids 1..bands·w); reports per-(band, bucket) occupancy — the
+    candidate sets a bucketed ANN probes. The band WIDTH grows with
+    the corpus so expected bucket occupancy (and thus any same-bucket
+    pair join) stays O(1)·bands at 100× the data; the fixed band count
+    keeps recall (a near pair only needs to agree in ONE band)."""
     e = load(spark, sf_dir, "embeddings")
     return _hyperplane_buckets(spark, e).groupBy("band_id", "bucket").agg(
         F.count("*").alias("bucket_size"),
@@ -758,13 +758,14 @@ SQL_ANN_IVF = f"""
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate detection, banded-LSH-blocked:
-    P = ~log2(n) hyperplane sign bits in 4-bit bands (the
-    ``_hyperplane_buckets`` scheme — bits grow with the corpus, so the
-    same-bucket pair join stays bounded at 100× the data; fixed bits
-    would go O(n²/2^bits)); candidate pairs share a bucket in ANY band
-    (banding keeps recall), deduped, then exact cosine ≥ 0.2 verifies.
-    The same shape as ``q_jaccard_lsh_pairs``: band → bucket join →
-    exact verify — the 100-TB near-dup plan."""
+    ``HYPERPLANE_BANDS`` bands of w = ~log2(n) hyperplane sign bits
+    each (the ``_hyperplane_buckets`` scheme — the band WIDTH grows
+    with the corpus so the same-bucket pair join stays O(n·bands);
+    a fixed width would go O(n²/2^w) ⇒ quadratic); candidate pairs
+    share a bucket in ANY band (the fixed band count keeps recall),
+    deduped, then exact cosine ≥ 0.2 verifies. The same shape as
+    ``q_jaccard_lsh_pairs``: band → bucket join → exact verify — the
+    100-TB near-dup plan."""
     e = load(spark, sf_dir, "embeddings")
     sig = _hyperplane_buckets(spark, e)
     cand = (
