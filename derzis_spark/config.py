@@ -95,6 +95,12 @@ class CrawlConfig:
     #: (millions of URLs × ~30 triples) would blow the 8 GB broadcast
     #: hard limit
     broadcast_key_limit: int = 2_000_000
+    #: tighter gate for the extension cascade's parents side: a parent
+    #: row carries the path's nodes/predicates arrays (~1 KB/row vs the
+    #: MERGE scans' bare key tuples), so the generic key gate would
+    #: admit multi-GB broadcasts; 250k rows ≈ 250 MB keeps the wave
+    #: join broadcast-shaped for normal waves and shuffles mega-waves
+    wave_broadcast_limit: int = 250_000
     #: use the Bloom-filter pre-pass for the seen-set anti-join
     use_bloom: bool = True
     #: expected seen-set capacity for sizing the Bloom filter

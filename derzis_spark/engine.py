@@ -149,6 +149,9 @@ class CrawlEngine:
         self._unvisited_domains = 0
         self._found_cache: DataFrame | None = None
         self._wave_caches: list[DataFrame] = []
+        #: per-wave phase seconds of the most recent extension cascade
+        #: (filled by _extend; surfaced in the round metrics row)
+        self._last_extend_profile: list[dict] = []
         # incremental edge view for path extension: rebuilt-from-scratch
         # would re-scan (and re-canonicalize) the whole triple store
         # every round; instead edges of the round's NEW (fresh) triple
@@ -969,14 +972,17 @@ class CrawlEngine:
         )
         self._proc_done_df = self._proc_done_df.unionByName(src)
 
-    def _maybe_bcast(self, df: DataFrame, n_keys: int) -> DataFrame:
-        """Broadcast hint only under ``cfg.broadcast_key_limit``: an
-        explicit hint bypasses AQE's size-based join choice, so a
-        mega-round side would sail past the 8 GB broadcast hard limit.
-        Above the gate the hint is dropped and the join shuffles on the
-        key — the bucketed MERGE shape the storage layer already writes
+    def _maybe_bcast(self, df: DataFrame, n_keys: int,
+                     limit: int | None = None) -> DataFrame:
+        """Broadcast hint only under ``cfg.broadcast_key_limit`` (or an
+        explicit ``limit`` for fat-row sides): an explicit hint
+        bypasses AQE's size-based join choice, so a mega-round side
+        would sail past the 8 GB broadcast hard limit. Above the gate
+        the hint is dropped and the join shuffles on the key — the
+        bucketed MERGE shape the storage layer already writes
         (storage.py bucketed tables)."""
-        if n_keys <= self.cfg.broadcast_key_limit:
+        if n_keys <= (self.cfg.broadcast_key_limit
+                      if limit is None else limit):
             return F.broadcast(df)
         return df
 
@@ -1349,21 +1355,31 @@ class CrawlEngine:
         bf = None
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
+            # cached: every wave's candidate job joins bf, and without
+            # the cache each wave re-aggregates the ENTIRE triple
+            # store (O(store) per wave instead of per round)
             bf = t.groupBy("predicate").agg(
                 F.countDistinct("subject").alias("bf_subj"),
                 F.countDistinct("okey").alias("bf_obj"),
-            ).withColumnRenamed("predicate", "pred")
+            ).withColumnRenamed("predicate", "pred").cache()
+            self._wave_caches.append(bf)
         lims = self.cfg.pred_limitations
         guard = 0
+        # endpoint mode keeps ONE url path per head, so the parents of
+        # every wave are bounded by the driver-side head list (the
+        # round's fetched heads, then each wave's next_heads) — the
+        # broadcast decision needs no extra count job
+        n_parents = len(fetched_done)
         while guard < 100:
             guard += 1
             p = parents.filter(F.col("length") < self.cfg.max_path_length)
-            cand = F.broadcast(p.select(
+            cand = self._maybe_bcast(p.select(
                 F.col("head_url").alias("p_head"),
                 F.col("length").alias("p_length"),
                 F.col("seed_paths").alias("p_seeds"),
                 F.col("seq").alias("parent_seq"),
-            )).join(ends, F.col("p_head") == F.col("end"))
+            ), n_parents, limit=self.cfg.wave_broadcast_limit) \
+                .join(ends, F.col("p_head") == F.col("end"))
             cand = (cand.withColumn("t_dir", F.col("dir_rank"))
                     .withColumn("t_end", F.col("end"))
                     .withColumn("t_raw", F.col("node_raw"))
@@ -1419,10 +1435,18 @@ class CrawlEngine:
                 # the blank id extend at UNINCREMENTED distance (add=0);
                 # parent head is neither end of the outgoing triple, so
                 # only neutral-zone/unknown predicates pass direction
+                # checkpoint so the parents⋈ends join is not recomputed
+                # for the outgoing probe, and so the broadcast decision
+                # is made from the REAL blank-candidate count (a wave's
+                # candidate set is unbounded at scale)
                 blank = blank_cand.select(
                     "p_head", "p_length", "p_seeds", "parent_seq",
-                    F.col("node_raw").alias("blank_id"))
-                out = F.broadcast(blank).join(
+                    F.col("node_raw").alias("blank_id")) \
+                    .localCheckpoint(eager=True)
+                n_blank = blank.count()
+                out = self._maybe_bcast(
+                    blank, n_blank,
+                    limit=self.cfg.wave_broadcast_limit).join(
                     ends.select(
                         F.col("end").alias("o_end"),
                         F.col("dir_rank").alias("o_dir"),
@@ -1588,7 +1612,9 @@ class CrawlEngine:
                       .withColumnRenamed("parent_seq", "seq")
                       .withColumn("was_extended", F.lit(True)))
             self.paths = (
-                self.paths.join(F.broadcast(ext_df), "seq", "left")
+                # n_parents bounds the distinct extended parent seqs
+                self.paths.join(self._maybe_bcast(ext_df, n_parents),
+                                "seq", "left")
                 .withColumn(
                     "status",
                     F.when(F.col("was_extended"), F.lit("deleted"))
@@ -1619,25 +1645,29 @@ class CrawlEngine:
             total += n_new + n_lit_heads
             # register unseen heads (anti-join dedup inside); next wave
             # = new heads whose resource is already done — a semi-join
-            # probe against the resources table, not a driver mirror
-            next_heads: list[str] = []
+            # probe against the resources table. The head set stays a
+            # (checkpointed) DataFrame end to end; only its count
+            # reaches the driver
+            n_next = 0
+            probe = None
             if n_new:
                 heads_df = new_url_df.select(F.col("gkey").alias("url"))
                 self._insert_new_urls(heads_df)
-                next_heads = sorted(
-                    r["url"] for r in heads_df.join(
-                        self.resources.filter(
-                            F.col("status") == "done").select("url"),
-                        "url", "left_semi").collect())
-            if not next_heads:
+                probe = heads_df.join(
+                    self.resources.filter(
+                        F.col("status") == "done").select("url"),
+                    "url", "left_semi") \
+                    .withColumnRenamed("url", "head_url") \
+                    .localCheckpoint(eager=True)
+                n_next = probe.count()
+            if n_next == 0:
                 break
             self.paths = self.paths.localCheckpoint(eager=True)
-            parents = _semi_filter(
-                self.spark,
-                self.paths.filter(
-                    (F.col("status") == "active")
-                    & (F.col("head_kind") == "url")),
-                "head_url", next_heads)
+            parents = self.paths.filter(
+                (F.col("status") == "active")
+                & (F.col("head_kind") == "url")) \
+                .join(probe, "head_url", "left_semi")
+            n_parents = n_next
         if proc_keys is not None:
             self._ledger_commit(proc_keys)
         return total
@@ -1665,10 +1695,14 @@ class CrawlEngine:
         bf = None
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
+            # cached: every wave's candidate job joins bf, and without
+            # the cache each wave re-aggregates the ENTIRE triple
+            # store (O(store) per wave instead of per round)
             bf = t.groupBy("predicate").agg(
                 F.countDistinct("subject").alias("bf_subj"),
                 F.countDistinct("okey").alias("bf_obj"),
-            ).withColumnRenamed("predicate", "pred")
+            ).withColumnRenamed("predicate", "pred").cache()
+            self._wave_caches.append(bf)
         all_children: list[DataFrame] = []
         ext_seq_dfs: list[DataFrame] = []
         proc_keys: DataFrame | None = None
@@ -1677,9 +1711,21 @@ class CrawlEngine:
             F.col("status") == "done").select(
             F.col("url").alias("head_url"))
         guard = 0
+        self._last_extend_profile = []
+        import time as _time
+        # wave-1 parents come from the frontier table, whose matched
+        # size is unknown until counted — cache + count once so the
+        # broadcast decision is made from the real size (and the wave
+        # join reads the cached rows instead of re-scanning paths).
+        # Wave k>1 parents are a subset of wave k-1's children, so the
+        # previous wave's child count bounds them for free.
+        parents = parents.cache()
+        self._wave_caches.append(parents)
+        n_parents = parents.count()
         while guard < 100:
             guard += 1
-            cand = self._extend_wave(rnd, parents, ends, bf)
+            _w0 = _time.time()
+            cand = self._extend_wave(rnd, parents, ends, bf, n_parents)
             cand.cache()
             self._wave_caches.append(cand)
             # the count both materializes the cache and picks the seq
@@ -1687,6 +1733,8 @@ class CrawlEngine:
             # underestimates hub pages and would funnel a huge wave
             # through the single-partition window)
             n = cand.count()
+            _wp = {"n": n, "cand_s": round(_time.time() - _w0, 2)}
+            self._last_extend_profile.append(_wp)
             if n == 0:
                 break
             # eager checkpoint (not cache): the children feed FOUR
@@ -1696,8 +1744,10 @@ class CrawlEngine:
             # round-end paths plan grows quadratically in waves (large
             # crawls OOM the planner's tree-string alone); the
             # checkpoint truncates every downstream plan to one node
+            _w1 = _time.time()
             children = self._finish_children(rnd, cand, n) \
                 .localCheckpoint(eager=True)
+            _wp["ckpt_s"] = round(_time.time() - _w1, 2)
             # processTriples ledger (insertProcTriples,
             # process-paths.ts:874-887): every triple that extended a
             # path; literal children only for rdfs:label/comment
@@ -1733,25 +1783,33 @@ class CrawlEngine:
             url_heads = children.filter(
                 F.col("head_kind") == "url").select(
                 F.col("head_url")).distinct()
+            _w1 = _time.time()
             self._insert_new_urls(
                 url_heads.withColumnRenamed("head_url", "url"))
+            _wp["ins_s"] = round(_time.time() - _w1, 2)
             # next wave: blank heads chain immediately; url heads whose
             # resource is already done re-extend against the store.
-            # Only the DONE/blank head lists reach the driver — both
-            # stay small (already-fetched or blank nodes), unlike the
-            # wave's full child set — and they come from ONE probe job.
+            # The head set never reaches the driver — it's checkpointed
+            # (one probe job; the count on materialized partitions is
+            # ~free) and fed straight back into the semi-join, so a
+            # mega-wave's re-extension set scales with executors
             probe = (
                 url_heads.join(done_res, "head_url", "left_semi")
                 .unionByName(
                     children.filter(F.col("head_kind") == "blank")
                     .select("head_url").distinct())
+                .distinct()
             )
-            next_heads = sorted(
-                {r["head_url"] for r in probe.collect()})
-            if not next_heads:
+            _w1 = _time.time()
+            probe = probe.localCheckpoint(eager=True)
+            n_next = probe.count()
+            _wp["probe_s"] = round(_time.time() - _w1, 2)
+            if n_next == 0:
                 break
-            parents = _semi_filter(
-                self.spark, children, "head_url", next_heads)
+            # probe is already distinct + materialized: plain semi-join
+            # (AQE picks broadcast vs shuffle from its real size)
+            parents = children.join(probe, "head_url", "left_semi")
+            n_parents = n  # children of this wave bound the next parents
         if total_children:
             ext_df = ext_seq_dfs[0]
             for extra in ext_seq_dfs[1:]:
@@ -1761,8 +1819,10 @@ class CrawlEngine:
                 "was_extended", F.lit(True))
 
             def mark_deleted(df):
+                # total_children bounds the distinct extended seqs
                 return (
-                    df.join(F.broadcast(ext_df), "seq", "left")
+                    df.join(self._maybe_bcast(ext_df, total_children),
+                            "seq", "left")
                     .withColumn(
                         "status",
                         F.when(F.col("was_extended"), F.lit("deleted"))
@@ -1827,16 +1887,20 @@ class CrawlEngine:
             .drop("_pid", "_off"))
 
     def _extend_wave(self, rnd: int, parents: DataFrame, ends: DataFrame,
-                     bf: DataFrame | None) -> DataFrame:
-        # parents are bounded by the round budget; ends is the
-        # store-sized side — broadcast parents so ends never shuffles
-        cand = F.broadcast(parents.select(
+                     bf: DataFrame | None, n_parents: int) -> DataFrame:
+        # ends is the store-sized side — broadcast parents (so ends
+        # never shuffles) only while the known parent bound fits the
+        # gate; a mega-wave (measured: 1M+ children/wave at the 600k-
+        # page fixture) must shuffle instead of blowing the 8 GB
+        # broadcast hard limit
+        cand = self._maybe_bcast(parents.select(
             F.col("seed"), F.col("head_url").alias("p_head"),
             F.col("nodes"), F.col("predicates"),
             F.col("length").alias("p_length"),
             F.col("created_round").alias("p_created"),
             F.col("seq").alias("parent_seq"),
-        )).join(ends, F.col("p_head") == F.col("end"))
+        ), n_parents, limit=self.cfg.wave_broadcast_limit) \
+            .join(ends, F.col("p_head") == F.col("end"))
         # cycle rule: predicate == head.url (TraversalPath.ts:408-449)
         cand = cand.filter(F.col("pred") != F.col("p_head"))
         # dedup one child per (parent, predicate, node_key), prefer
@@ -2031,12 +2095,15 @@ class CrawlEngine:
                 fetched_done = [t[2] for t in trace if t[4] == "done"]
                 n_done = len(fetched_done)
                 _t1 = _time.time()
+                self._last_extend_profile = []
                 if fetched_done:
                     if self.cfg.path_type == "endpoint":
                         self._extend_endpoint(rnd, fetched_done)
                     else:
                         self._extend(rnd, fetched_done)
                 _t["extend_s"] = round(_time.time() - _t1, 2)
+                if self._last_extend_profile:
+                    _t["waves"] = list(self._last_extend_profile)
                 if quads is not None:
                     quads.unpersist()
                 if self._found_cache is not None:

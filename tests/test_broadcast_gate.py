@@ -54,3 +54,20 @@ def test_over_threshold_endpoint_crawl_exact_match(spark):
     engine = CrawlEngine(spark, pages, robots, cfg)
     engine.run(seeds, max_rounds=10)
     assert_match(oracle, engine)
+
+
+def test_over_threshold_endpoint_blank_crawl_exact_match(spark):
+    """gate=0 with blank nodes on: the endpoint blank-chain probe's
+    candidate set must take the shuffle join (its broadcast is gated on
+    the counted candidate size) and still match the oracle."""
+    fx = generate_fixture(n_pages=80, n_origins=5, n_seeds=3, seed=106,
+                          blank_rate=0.3, blank_subject_rate=0.8)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=3,
+                      resources_per_domain=3, max_rounds=8,
+                      path_type="endpoint", allow_blank_nodes=True,
+                      broadcast_key_limit=0)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=8)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=8)
+    assert_match(oracle, engine)
