@@ -52,6 +52,51 @@ def test_convert_to_endpoint_collects_nothing_frontier_sized(
 
 
 @pytest.mark.slow
+def test_extension_cascade_collects_nothing_frontier_sized(
+        spark, monkeypatch):
+    """The wave cascade's re-extension head set stays a DataFrame: the
+    only driver collects inside _extend are dimension-sized (per-origin
+    insert counters; seq prefix offsets for huge waves). The old code
+    collected next_heads (the done/blank head set — frontier-scale on
+    a fat round) between every pair of waves."""
+    fx = generate_fixture(n_pages=2400, n_origins=30, n_seeds=30,
+                          seed=42, out_links=8)
+    cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                      resources_per_domain=24, max_rounds=5)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+
+    in_extend = {"flag": False}
+    calls: list[int] = []
+    orig_extend = CrawlEngine._extend
+    orig_collect = DataFrame.collect
+
+    def wrapped_extend(self, rnd, fetched_done):
+        in_extend["flag"] = True
+        try:
+            return orig_extend(self, rnd, fetched_done)
+        finally:
+            in_extend["flag"] = False
+
+    def spy(self):
+        rows = orig_collect(self)
+        if in_extend["flag"]:
+            calls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(CrawlEngine, "_extend", wrapped_extend)
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    engine.run(seeds, max_rounds=5)
+    cap = 30 + 64  # origins + parallelism margin
+    multiwave = [m for m in engine.metrics
+                 if len(m.get("waves", [])) >= 2]
+    assert multiwave, "fixture produced no multi-wave round"
+    assert any(m["waves"][1]["n"] > cap for m in multiwave), \
+        "later waves too small to prove anything"
+    assert not calls or max(calls) <= cap, calls
+
+
+@pytest.mark.slow
 def test_start_step_passes_done_heads_as_dataframe(spark, monkeypatch):
     """The done-head set reaches the extension cascade as a DataFrame:
     with the cascade stubbed, start_step performs no frontier-sized
