@@ -101,6 +101,12 @@ class CrawlConfig:
     #: admit multi-GB broadcasts; 250k rows ≈ 250 MB keeps the wave
     #: join broadcast-shaped for normal waves and shuffles mega-waves
     wave_broadcast_limit: int = 250_000
+    #: ceiling on the driver-side known-origin set (new-domain
+    #: detection fast path). Below it, membership is a set lookup;
+    #: past it the set is dropped and new origins are found with a
+    #: batch-bounded anti-join against the domains table — a 10^8-
+    #: domain crawl must not mirror the whole dimension on the driver
+    origin_set_limit: int = 2_000_000
     #: use the Bloom-filter pre-pass for the seen-set anti-join
     use_bloom: bool = True
     #: expected seen-set capacity for sizing the Bloom filter

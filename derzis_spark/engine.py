@@ -145,7 +145,9 @@ class CrawlEngine:
         # the distributed tables: the driver only ever materializes
         # O(per-round schedule) rows plus per-wave done/blank head
         # lists, so rounds scale past driver memory.
-        self._known_origins: set[str] = set()
+        #: known-origin fast path; None once the domain dimension
+        #: outgrows cfg.origin_set_limit (then: anti-join detection)
+        self._known_origins: set[str] | None = set()
         self._unvisited_domains = 0
         self._found_cache: DataFrame | None = None
         self._wave_caches: list[DataFrame] = []
@@ -286,11 +288,19 @@ class CrawlEngine:
         self.round = manifest["round"]
         self.seq_counter = manifest["seq_counter"]
         self._step_log = list(manifest.get("steps", []))
-        # rebuild the (dimension-sized) per-domain driver counters
-        dom_rows = self.domains.select("origin", "status").collect()
-        self._known_origins = {r["origin"] for r in dom_rows}
-        self._unvisited_domains = sum(
-            1 for r in dom_rows if r["status"] == "unvisited")
+        # rebuild the per-domain driver counters; past the origin gate
+        # the dimension stays distributed (only counts reach the
+        # driver) and new-origin detection uses the anti-join path
+        counts = {r["status"]: r["n"] for r in self.domains.groupBy(
+            "status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_domains = sum(counts.values())
+        self._unvisited_domains = counts.get("unvisited", 0)
+        if n_domains <= self.cfg.origin_set_limit:
+            self._known_origins = {
+                r["origin"]
+                for r in self.domains.select("origin").collect()}
+        else:
+            self._known_origins = None
         self._proc_triples_df = tables.get(
             "proc_triples",
             self.spark.createDataFrame([], schemas.RAW_TRIPLE))
@@ -1109,15 +1119,28 @@ class CrawlEngine:
         new_res = new_res.localCheckpoint(eager=True)
         self.resources = self.resources.unionByName(new_res)
         self._pending_bloom.append(new_res)
-        new_origins = sorted(
-            {r["origin"] for r in org_rows} - self._known_origins)
+        batch_origins = {r["origin"] for r in org_rows}
+        if self._known_origins is not None:
+            new_origins = sorted(batch_origins - self._known_origins)
+        else:
+            # dimension overflowed the driver gate: batch-bounded
+            # anti-join against the domains table instead of a set
+            org_df = self.spark.createDataFrame(
+                [(o,) for o in sorted(batch_origins)], "origin string")
+            new_origins = sorted(
+                r["origin"] for r in org_df.join(
+                    self.domains.select("origin"),
+                    "origin", "left_anti").collect())
         if new_origins:
             self.domains = self.domains.unionByName(
                 self.spark.createDataFrame(
                     [(o, "unvisited", None, "",
                       self.cfg.default_crawl_delay, 0, {}, [])
                      for o in new_origins], schemas.DOMAINS))
-            self._known_origins.update(new_origins)
+            if self._known_origins is not None:
+                self._known_origins.update(new_origins)
+                if len(self._known_origins) > self.cfg.origin_set_limit:
+                    self._known_origins = None
             self._unvisited_domains += len(new_origins)
         return n
 

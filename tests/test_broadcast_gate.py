@@ -56,6 +56,29 @@ def test_over_threshold_endpoint_crawl_exact_match(spark):
     assert_match(oracle, engine)
 
 
+def test_origin_set_overflow_crawl_exact_match(spark, tmp_path):
+    """origin_set_limit=0 drops the driver-side known-origin set after
+    the first insert: new-domain detection must switch to the
+    batch-bounded anti-join (and resume must not rebuild the set) while
+    producing the identical crawl."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=12,
+                      origin_set_limit=0)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=12)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    work = str(tmp_path / "run")
+    engine = CrawlEngine(spark, pages, robots, cfg, work_dir=work)
+    engine.run(seeds, max_rounds=6)
+    assert engine._known_origins is None
+    # resume from snapshot: counters rebuilt without the origin mirror
+    resumed = CrawlEngine(spark, pages, robots, cfg, work_dir=work)
+    resumed.resume()
+    assert resumed._known_origins is None
+    resumed.run(max_rounds=12)
+    assert_match(oracle, resumed)
+
+
 def test_over_threshold_endpoint_blank_crawl_exact_match(spark):
     """gate=0 with blank nodes on: the endpoint blank-chain probe's
     candidate set must take the shuffle join (its broadcast is gated on
