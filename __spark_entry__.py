@@ -5,8 +5,16 @@ synchronous crawl engine on a deterministic mini fixture — and returns
 its trace. ``queries()`` / ``oracle_sql()`` expose every implemented
 operator from SURVEY.md §2 plus the training-data-pipeline operators;
 DuckDB verifies each against the identical-valued SQL on the parquet
-views. Crawl-engine entries (iterative, multi-round) have no SQL
-equivalent → rows-only checks.
+views. The iterative crawl-engine entries are value-hash-checked
+against frozen VALUES oracles generated from the independent Python
+oracle (scripts/freeze_oracles.py).
+
+NOTE on sizing/order: the driver's correctness sweep checks AT MOST 50
+entries (observed in round 3: 51 exported, exactly 50 recorded and the
+51st silently dropped). The dicts below therefore (a) hold exactly ≤50
+entries — the two crawl-trace modes share one union entry — and (b)
+lead with the iterative engine entries so no cap can ever drop them.
+tests/test_entry_contract.py pins both invariants.
 """
 
 from __future__ import annotations
@@ -63,8 +71,36 @@ def _batch_fetch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_extract_stats(spark, frontier, pages, robots)
 
 
+def _crawl_trace_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both crawl-engine modes (traversal + endpoint) in ONE driver row:
+    the union of the two deterministic mini-crawl traces tagged with a
+    ``mode`` column. Each mode is still hash-verified against its own
+    frozen Python-oracle literal — merged only so the entry dict fits
+    the driver's 50-entry cap without losing either check."""
+    from pyspark.sql import functions as F
+
+    mini = _mini_crawl(spark).withColumn("mode", F.lit("mini"))
+    ep = _mini_crawl(spark, path_type="endpoint") \
+        .withColumn("mode", F.lit("endpoint"))
+    return mini.unionByName(ep)
+
+
+#: DuckDB mirror of _crawl_trace_both: the union of the two frozen
+#: per-mode oracles with the same mode tag
+SQL_CRAWL_TRACE = (
+    "SELECT 'mini' AS mode, * FROM (" + FO.SQL_CRAWL_TRACE_MINI + ")\n"
+    "UNION ALL\n"
+    "SELECT 'endpoint' AS mode, * FROM ("
+    + FO.SQL_CRAWL_TRACE_ENDPOINT + ")")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # the crawl engine itself (iterative; frozen-oracle hash check)
+        # and the mega-round fetch+extract UDF pipeline lead the dict so
+        # the driver's 50-entry cap can never drop them (round-3 lesson)
+        "crawl_trace": _crawl_trace_both,
+        "fetch_extract_batch": _batch_fetch_stats,
         # §2.1 sources/sinks + §3.1 bootstrap
         "seed_insert": Q.q_seed_insert,
         "ntriples_export": Q.q_ntriples_export,
@@ -125,17 +161,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": P.q_doc_fingerprint,
         # multimodal plumbing (mapInPandas)
         "multimodal_metadata": P.q_multimodal_metadata,
-        # the crawl engine itself (iterative — rows-only check)
-        "crawl_trace_mini": lambda spark, sf_dir: _mini_crawl(spark),
-        "crawl_trace_endpoint": lambda spark, sf_dir: _mini_crawl(
-            spark, path_type="endpoint"),
-        # mega-round fetch+extract batch (UDF pipeline — rows-only)
-        "fetch_extract_batch": _batch_fetch_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # iterative entries: the mini fixtures are seeded, so the
+        # expected outputs are frozen VALUES literals generated from the
+        # independent Python oracle (scripts/freeze_oracles.py) — the
+        # driver value-hashes the crawl engine itself
+        "crawl_trace": SQL_CRAWL_TRACE,
+        "fetch_extract_batch": FO.SQL_FETCH_EXTRACT_BATCH,
         "seed_insert": Q.SQL_SEED_INSERT,
         "ntriples_export": Q.SQL_NTRIPLES_EXPORT,
         "frontier_priority": Q.SQL_FRONTIER_PRIORITY,
@@ -184,11 +220,4 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": P.SQL_LANG_ID,
         "doc_fingerprint": P.SQL_DOC_FINGERPRINT,
         "multimodal_metadata": P.SQL_MULTIMODAL_METADATA,
-        # iterative entries: the mini fixtures are seeded, so the
-        # expected outputs are frozen VALUES literals (regenerate with
-        # scripts/freeze_oracles.py) — the driver value-hashes the
-        # crawl engine itself instead of a rows-only check
-        "crawl_trace_mini": FO.SQL_CRAWL_TRACE_MINI,
-        "crawl_trace_endpoint": FO.SQL_CRAWL_TRACE_ENDPOINT,
-        "fetch_extract_batch": FO.SQL_FETCH_EXTRACT_BATCH,
     }
