@@ -1,7 +1,15 @@
-"""De-drivered step transitions (VERDICT r2 #2): convert_to_endpoint
-and start_step must never materialize a frontier-scale head set on the
-driver — new endpoint rows and re-extension parents are built as
-DataFrames (seqs via the distributed two-phase rank)."""
+"""De-drivered driver-contract spy tests.
+
+VERDICT r2 #2: convert_to_endpoint and start_step must never
+materialize a frontier-scale head set on the driver — new endpoint
+rows and re-extension parents are built as DataFrames (seqs via the
+distributed two-phase rank).
+
+VERDICT r3 #2-#4: the endpoint additive seed insert anti-joins the
+(tiny) seed list instead of collecting the frontier's heads; the
+robots phase merges its per-domain updates distributively (only counts
+cross to the driver); new-origin insertion past ``origin_set_limit``
+unions the new dimension rows distributively."""
 
 import pytest
 from pyspark.sql import DataFrame
@@ -126,3 +134,97 @@ def test_start_step_passes_done_heads_as_dataframe(spark, monkeypatch):
     assert issubclass(got["type"], DataFrame)
     assert got["n"] > 0
     assert not calls or max(calls) <= COLLECT_CAP, calls
+
+
+def test_endpoint_seed_insert_collects_only_seed_sized(spark, monkeypatch):
+    """_insert_seed_paths in endpoint mode (VERDICT r3 #2): the frontier
+    head set stays distributed; only O(seed list) rows reach the driver.
+    The old code collected EVERY endpoint head url to dedup 3 seeds."""
+    fx = generate_fixture(n_pages=400, n_origins=8, n_seeds=6, seed=42,
+                          out_links=8)
+    cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                      resources_per_domain=4, max_rounds=3,
+                      path_type="endpoint")
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=3)
+    heads = [r["head_url"] for r in engine.paths.filter(
+        "head_kind = 'url' AND status = 'active'")
+        .select("head_url").limit(2 * COLLECT_CAP + 2).collect()]
+    assert len(heads) > 2 * COLLECT_CAP, \
+        "fixture frontier too small to prove anything"
+    # two genuinely-new seeds + one that is already an endpoint head
+    new_seeds = ["https://newseed-a.example.org/",
+                 "https://newseed-b.example.org/", heads[0]]
+    seeds2 = spark.createDataFrame([(u,) for u in new_seeds],
+                                   "url string")
+    n_before = engine.paths.count()
+    calls = _spy_collect(monkeypatch)
+    inserted = engine._insert_seed_paths(seeds2)
+    assert not calls or max(calls) <= COLLECT_CAP, calls
+    assert sorted(inserted) == sorted(
+        u.rstrip() for u in new_seeds)  # all canonical already
+    # only the two unseen seeds created endpoint rows
+    assert engine.paths.count() == n_before + 2
+    assert engine.paths.filter(
+        engine.paths.head_url.isin(new_seeds[:2])).count() == 2
+
+
+def test_phase_robots_collects_nothing_domain_sized(spark, monkeypatch):
+    """_phase_robots (VERDICT r3 #3): a discovery-heavy round checking
+    hundreds of unvisited domains must not collect one row per domain —
+    the updates merge into ``domains`` as a DataFrame and only counts
+    reach the driver."""
+    n_dom = 400
+    fx = generate_fixture(n_pages=n_dom, n_origins=n_dom, n_seeds=4,
+                          seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2)
+    pages, robots, _ = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    # one seed per origin → every domain is robots-eligible in round 1
+    seeds = spark.createDataFrame(
+        [(f"https://o{i}.example.org/page/{i}",) for i in range(n_dom)],
+        "url string")
+    engine.bootstrap(seeds)
+    eligible = engine._eligible_paths()
+    calls = _spy_collect(monkeypatch)
+    n_checked = engine._phase_robots(1, eligible)
+    assert n_checked == n_dom
+    assert engine._unvisited_domains == 0
+    assert not calls or max(calls) <= COLLECT_CAP, calls
+    # the merge really happened: every domain left 'unvisited'
+    assert engine.domains.filter("status = 'unvisited'").count() == 0
+    # host_not_found robots got their E_DOMAIN_NOT_FOUND warning
+    n_err = engine.domains.filter("status = 'error'").count()
+    n_warned = engine.domains.filter(
+        "warnings['E_DOMAIN_NOT_FOUND'] = 1").count()
+    assert n_err == n_warned
+
+
+def test_insert_new_urls_distributed_above_origin_gate(spark, monkeypatch):
+    """_insert_new_urls past origin_set_limit (VERDICT r3 #4 / ADVICE):
+    new dimension rows are unioned distributively — no per-origin rows
+    on the driver even when a batch surfaces hundreds of new domains."""
+    fx = generate_fixture(n_pages=60, n_origins=4, n_seeds=3, seed=42)
+    cfg = CrawlConfig(origin_set_limit=0)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.bootstrap(seeds)
+    n_new_origins = 300
+    batch = spark.createDataFrame(
+        [(f"https://disc{i}.example.org/p/{j}",)
+         for i in range(n_new_origins) for j in range(2)],
+        "url string")
+    n_dom_before = engine.domains.count()
+    unvisited_before = engine._unvisited_domains
+    calls = _spy_collect(monkeypatch)
+    n = engine._insert_new_urls(batch)
+    assert n == 2 * n_new_origins
+    assert not calls or max(calls) <= COLLECT_CAP, calls
+    assert engine._known_origins is None
+    assert engine.domains.count() == n_dom_before + n_new_origins
+    assert engine._n_domains == n_dom_before + n_new_origins
+    assert engine._unvisited_domains == unvisited_before + n_new_origins
+    # inserting the same batch again is a no-op
+    assert engine._insert_new_urls(batch) == 0
