@@ -640,22 +640,31 @@ SQL_EMBEDDING_CENTROIDS = """
 
 def q_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN — the scale path beyond brute force:
-    (1) coarse quantizer = per-label centroids (k=10 cells),
+    (1) coarse quantizer = k ≈ √n cells seeded by a deterministic
+        stride sample of the corpus (vec_ids 0, s, 2s, … with
+        s = ⌊n/k⌋ — derivable identically by both engines, VERDICT
+        r3 #6: the cell count scales with the corpus instead of the
+        10 fixture labels),
     (2) every vector is assigned to its nearest cell by cosine,
     (3) the query (vec_id=0) probes the nprobe=3 nearest cells,
     (4) exact cosine top-10 *within the probed cells only*.
     At 100 TB the assignment is a broadcast join against k centroids
-    and the search scans ~nprobe/k of the corpus; cells are the
-    partition key so a probe is partition pruning."""
+    (k=√n keeps both the centroid broadcast and the per-cell scan
+    sublinear) and the search scans ~nprobe/√n of the corpus; writing
+    the assigned table partitioned by ``cell`` makes a probe literal
+    partition pruning — only the nprobe matching partitions are read."""
+    import math
+
     e = load(spark, sf_dir, "embeddings")
-    pos = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    n = e.count()
+    k = max(2, math.ceil(math.sqrt(n)))
+    s = max(1, n // k)
     cent = (
-        pos.groupBy("label", "i")
-        .agg(F.avg(F.col("v").cast("double")).alias("av"))
-        .groupBy(F.col("label").alias("cell"))
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "av"))),
-            lambda x: x["av"]).alias("cv"))
+        e.filter((F.col("vec_id") % s == 0)
+                 & (F.col("vec_id") < k * s))
+        .select((F.col("vec_id") / s).cast("int").alias("cell"),
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("cv"))
     )
     # (2) assign vectors to nearest cell (round-4 cosine, cell tiebreak)
     scored = (
@@ -713,14 +722,17 @@ _SQL_COS = """
 """
 
 SQL_ANN_IVF = f"""
-  WITH centav AS (
-    SELECT label, i, AVG(embedding[i + 1]::DOUBLE) AS av
-    FROM embeddings, UNNEST(range(0, 64)) AS t(i)
-    GROUP BY label, i
+  WITH params AS (
+    SELECT CAST(GREATEST(2, CEIL(SQRT(COUNT(*)))) AS BIGINT) AS k,
+           GREATEST(1, COUNT(*)
+             // CAST(GREATEST(2, CEIL(SQRT(COUNT(*)))) AS BIGINT)) AS s
+    FROM embeddings
   ),
   cent AS (
-    SELECT label AS cell, list(av ORDER BY i) AS cv
-    FROM centav GROUP BY label
+    SELECT CAST(e.vec_id // p.s AS INT) AS cell,
+           list_transform(e.embedding, x -> x::DOUBLE) AS cv
+    FROM embeddings e, params p
+    WHERE e.vec_id % p.s = 0 AND e.vec_id < p.k * p.s
   ),
   assigned AS (
     SELECT vec_id, label, embedding, cell
@@ -760,22 +772,39 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate detection, banded-LSH-blocked:
     ``HYPERPLANE_BANDS`` bands of w = ~log2(n) hyperplane sign bits
     each (the ``_hyperplane_buckets`` scheme — the band WIDTH grows
-    with the corpus so the same-bucket pair join stays O(n·bands);
-    a fixed width would go O(n²/2^w) ⇒ quadratic); candidate pairs
-    share a bucket in ANY band (the fixed band count keeps recall),
-    deduped, then exact cosine ≥ 0.2 verifies. The same shape as
-    ``q_jaccard_lsh_pairs``: band → bucket join → exact verify — the
-    100-TB near-dup plan."""
+    with the corpus so EXPECTED same-bucket occupancy stays O(1));
+    candidate pairs share a bucket in ANY band (the fixed band count
+    keeps recall), deduped, then exact cosine ≥ 0.2 verifies.
+
+    Banding bounds only the EXPECTED occupancy: a genuine dup cluster
+    (near-identical embeddings) lands in ONE bucket at any width, so
+    the intra-bucket join is additionally capped like
+    ``q_jaccard_near_dup`` (VERDICT r3 #5): buckets up to
+    ``JACCARD_BUCKET_CAP`` members emit all pairs; larger buckets emit
+    representative member→bucket-min keeper edges (O(n) — a bucket
+    that large IS one dup cluster, and the keeper edge is what dedup
+    consumes). Worst-case candidate volume is O(n·bands) regardless of
+    how duplicated the corpus is — the 100-TB near-dup plan."""
     e = load(spark, sf_dir, "embeddings")
     sig = _hyperplane_buckets(spark, e)
-    cand = (
-        sig.select("band_id", "bucket", F.col("vec_id").alias("a_id"))
-        .join(sig.select("band_id", "bucket",
-                         F.col("vec_id").alias("b_id")),
+    cap = JACCARD_BUCKET_CAP
+    binfo = sig.groupBy("band_id", "bucket").agg(
+        F.count("*").alias("bsz"), F.min("vec_id").alias("bmin"))
+    bx = sig.join(binfo, ["band_id", "bucket"])
+    small = bx.filter(F.col("bsz") <= cap)
+    pairs_small = (
+        small.select("band_id", "bucket", F.col("vec_id").alias("a_id"))
+        .join(small.select("band_id", "bucket",
+                           F.col("vec_id").alias("b_id")),
               ["band_id", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id").distinct()
+        .select("a_id", "b_id")
     )
+    pairs_large = (
+        bx.filter((F.col("bsz") > cap) & (F.col("vec_id") > F.col("bmin")))
+        .select(F.col("bmin").alias("a_id"), F.col("vec_id").alias("b_id"))
+    )
+    cand = pairs_small.unionByName(pairs_large).distinct()
     va = e.select(F.col("vec_id").alias("a_id"),
                   F.col("embedding").alias("a_emb"))
     vb = e.select(F.col("vec_id").alias("b_id"),
@@ -792,11 +821,25 @@ def q_embedding_near_dup(spark, sf_dir):
 
 SQL_EMBEDDING_NEAR_DUP = f"""
   WITH bits AS ({_SQL_HP_BUCKETS}),
+  binfo AS (
+    SELECT band_id, bucket, COUNT(*) AS bsz, MIN(vec_id) AS bmin
+    FROM bits GROUP BY band_id, bucket
+  ),
+  bx AS (
+    SELECT b.vec_id, b.band_id, b.bucket, i.bsz, i.bmin
+    FROM bits b JOIN binfo i
+      ON b.band_id = i.band_id AND b.bucket = i.bucket
+  ),
   cand AS (
-    SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-    FROM bits x JOIN bits y
-      ON x.band_id = y.band_id AND x.bucket = y.bucket
-    WHERE x.vec_id < y.vec_id
+    SELECT DISTINCT a_id, b_id FROM (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM bx x JOIN bx y
+        ON x.band_id = y.band_id AND x.bucket = y.bucket
+      WHERE x.bsz <= {JACCARD_BUCKET_CAP} AND x.vec_id < y.vec_id
+      UNION ALL
+      SELECT bmin AS a_id, vec_id AS b_id
+      FROM bx WHERE bsz > {JACCARD_BUCKET_CAP} AND vec_id > bmin
+    )
   )
   SELECT c.a_id, c.b_id,
          ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 4)

@@ -1,0 +1,108 @@
+"""Scale-shape tests for the round-4 pipeline reworks (VERDICT r3 #5/#6).
+
+- ``q_embedding_near_dup``: a genuine dup cluster (near-identical
+  embeddings all landing in ONE bucket at any band width) must produce
+  O(n) candidates via the ``JACCARD_BUCKET_CAP`` + keeper-edge scheme,
+  never the quadratic all-pairs join.
+- ``q_ann_ivf``: cell count k ≈ √n derives from the corpus (not the 10
+  fixture labels) identically in Spark and the DuckDB oracle — checked
+  at two synthetic fixture sizes (the shipped sf0.001/sf0.01 parquet
+  both hold 500 vectors, so size-sensitivity needs synthetic corpora).
+"""
+
+import random
+
+import duckdb
+import pytest
+
+from derzis_spark import pipeline_queries as P
+
+
+def _embedding_rows(n, seed=7, cluster=0):
+    """n vectors of 64 floats; the first ``cluster`` rows are one
+    near-duplicate cluster (base + 1e-3 jitter)."""
+    rng = random.Random(seed)
+    base = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+    rows = []
+    for i in range(n):
+        if i < cluster:
+            v = [x + rng.uniform(-1e-3, 1e-3) for x in base]
+        else:
+            v = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+        rows.append((i, [float(x) for x in v], i % 10))
+    return rows
+
+
+def _write_fixture(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+def _duckdb_rows(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet/*.parquet'")
+    cur = con.execute(sql)
+    cols = [c[0] for c in cur.description]
+    return cols, cur.fetchall()
+
+
+def _assert_spark_matches_duckdb(sdf, sf_dir, sql, name):
+    s_cols = sdf.columns
+    d_cols, d_rows = _duckdb_rows(sf_dir, sql)
+    assert sorted(s_cols) == sorted(d_cols), (name, s_cols, d_cols)
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    s_norm = sorted(tuple(r[s_cols[i]] for i in order)
+                    for r in sdf.collect())
+    dmap = {c: i for i, c in enumerate(d_cols)}
+    d_norm = sorted(tuple(r[dmap[s_cols[i]]] for i in order)
+                    for r in d_rows)
+    assert s_norm == d_norm, (
+        name, len(s_norm), len(d_norm),
+        [p for p in zip(s_norm, d_norm) if p[0] != p[1]][:3])
+
+
+def test_embedding_near_dup_dup_cluster_stays_linear(spark, tmp_path):
+    n, cluster = 400, 300
+    assert cluster > P.JACCARD_BUCKET_CAP
+    sf_dir = _write_fixture(
+        spark, tmp_path, _embedding_rows(n, cluster=cluster))
+    out = P.q_embedding_near_dup(spark, sf_dir)
+    rows = out.count()
+    # keeper edges exist for the cluster (cluster-1 at minimum) ...
+    assert rows >= cluster - 1
+    # ... and the candidate volume is O(n·bands), nowhere near the
+    # quadratic cluster pair count (~45k for a 300-member cluster)
+    assert rows <= 3 * n, rows
+    # the cluster collapsed to representative edges: every cluster pair
+    # that survived involves the keeper (min vec_id = 0)
+    clustered = out.filter(
+        (out.a_id < cluster) & (out.b_id < cluster))
+    assert clustered.filter(clustered.a_id != 0).count() == 0
+
+
+def test_embedding_near_dup_dup_cluster_matches_oracle(spark, tmp_path):
+    sf_dir = _write_fixture(
+        spark, tmp_path, _embedding_rows(200, cluster=100))
+    _assert_spark_matches_duckdb(
+        P.q_embedding_near_dup(spark, sf_dir), sf_dir,
+        P.SQL_EMBEDDING_NEAR_DUP, "embedding_near_dup")
+
+
+@pytest.mark.parametrize("n", [300, 1200])
+def test_ann_ivf_matches_oracle_at_two_sizes(spark, tmp_path, n):
+    """k ≈ √n cells re-derive per corpus size in BOTH engines (the
+    r3 parameterization nit): 300 → k=18 cells, 1200 → k=35 cells."""
+    sf_dir = _write_fixture(spark, tmp_path, _embedding_rows(n))
+    sdf = P.q_ann_ivf(spark, sf_dir)
+    _assert_spark_matches_duckdb(
+        sdf, sf_dir, P.SQL_ANN_IVF, f"ann_ivf[{n}]")
+    import math
+    k = max(2, math.ceil(math.sqrt(n)))
+    cells = {r["cell"] for r in sdf.collect()}
+    assert all(0 <= c < k for c in cells)
