@@ -19,6 +19,14 @@ parquet fixture, and reports both throughputs + scaling efficiency
 see BENCH/BASELINE.md for why N=2→8 rather than 8→32 on this VM
 (hyperthreading ceiling, measured with a raw multiprocessing probe).
 
+A/B mode (round-over-round protocol): ``python bench.py --ab
+<ref-commit> [--ab-pairs 3]`` checks the ref commit out into a git
+worktree and runs the DEFAULT bench alternately (ref/cur, cur/ref, …)
+so VM drift cancels, then prints one JSON line with the per-pair suite
+/ crawl / per-query ratios and their medians — the machine-generated
+replacement for the hand-run pairs of BENCH/BASELINE.md §10
+(VERDICT r3 #7). Ratios: suite <1 and crawl >1 ⇒ current is faster.
+
 Subprocess modes: ``--batch-only --cores N --fixture-dir D`` and
 ``--crawl-only --cores N`` each print one JSON line.
 """
@@ -213,6 +221,73 @@ def run_fast_variants(spark, sf_dir: str) -> dict:
     return {"minhash64_signatures_fast": round(time.time() - t0, 3)}
 
 
+def run_ab(ref_commit: str, pairs: int) -> None:
+    """Interleaved A/B pairs against ``ref_commit`` (in a worktree).
+
+    Each pair runs the full default bench once per side, alternating
+    which side goes first, with SPARK_GRAFT_CRAWL_REPEAT=1 (a pair is
+    already a repeat — min-of-3 inside each side would triple the
+    wall-clock for no extra signal)."""
+    import statistics
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    short = subprocess.run(
+        ["git", "rev-parse", "--short", ref_commit], cwd=repo,
+        capture_output=True, text=True, check=True).stdout.strip()
+    wt = os.path.join("/tmp", f"derzis_ab_{short}")
+    if not os.path.exists(os.path.join(wt, "bench.py")):
+        subprocess.run(
+            ["git", "worktree", "add", "--force", wt, ref_commit],
+            cwd=repo, check=True, capture_output=True)
+    env = {**os.environ, "SPARK_GRAFT_CRAWL_REPEAT": "1"}
+
+    def one(bench_dir: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(bench_dir, "bench.py")],
+            capture_output=True, text=True, check=True,
+            cwd=bench_dir, env=env)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    pair_rows = []
+    for i in range(max(1, pairs)):
+        order = ([("ref", wt), ("cur", repo)] if i % 2 == 0
+                 else [("cur", repo), ("ref", wt)])
+        res = {tag: one(d) for tag, d in order}
+        common = sorted(set(res["ref"]["queries"])
+                        & set(res["cur"]["queries"]))
+        pair_rows.append({
+            "order": [t for t, _ in order],
+            "ref_suite_sec": res["ref"]["value"],
+            "cur_suite_sec": res["cur"]["value"],
+            "suite_ratio": round(
+                res["cur"]["value"] / res["ref"]["value"], 3),
+            "ref_crawl_ups": res["ref"]["crawl"]["urls_per_sec"],
+            "cur_crawl_ups": res["cur"]["crawl"]["urls_per_sec"],
+            "crawl_ratio": round(
+                res["cur"]["crawl"]["urls_per_sec"]
+                / res["ref"]["crawl"]["urls_per_sec"], 3),
+            "query_ratios": {
+                q: round(res["cur"]["queries"][q]
+                         / res["ref"]["queries"][q], 3)
+                for q in common if res["ref"]["queries"][q]},
+        })
+    qnames = sorted(set().union(*[p["query_ratios"] for p in pair_rows]))
+    print(json.dumps({
+        "metric": f"interleaved A/B pairs vs {ref_commit} ({short})",
+        "pairs": pair_rows,
+        "suite_sec_ratio_median": round(statistics.median(
+            p["suite_ratio"] for p in pair_rows), 3),
+        "crawl_ups_ratio_median": round(statistics.median(
+            p["crawl_ratio"] for p in pair_rows), 3),
+        "query_ratio_medians": {
+            q: round(statistics.median(
+                p["query_ratios"][q] for p in pair_rows
+                if q in p["query_ratios"]), 3) for q in qnames},
+        "note": "ratios are cur/ref: suite <1 and crawl >1 mean "
+                "current is faster",
+    }))
+
+
 def _subprocess_json(args: list[str]) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)] + args,
@@ -229,7 +304,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--fixture-dir", default=None)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--ab", metavar="REF_COMMIT", default=None)
+    ap.add_argument("--ab-pairs", type=int, default=3)
     args = ap.parse_args()
+
+    if args.ab:
+        run_ab(args.ab, args.ab_pairs)
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
