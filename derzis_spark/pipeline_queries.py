@@ -674,12 +674,19 @@ def q_ann_ivf(spark, sf_dir):
             / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
                * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 4))
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("cell"))
+    # argmax by (cos DESC, cell ASC) as a hash aggregation (max_by on
+    # the (cos, -cell) struct): map-side combinable — at 10^10 vectors
+    # a per-vector sort window would shuffle-sort the whole corpus,
+    # while this aggregates partials per partition
     assigned = (
-        scored.withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "label", "embedding", "cell")
+        scored.groupBy("vec_id")
+        .agg(F.max_by(
+            F.struct("label", "embedding", "cell"),
+            F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))
+        ).alias("_a"))
+        .select("vec_id", F.col("_a.label").alias("label"),
+                F.col("_a.embedding").alias("embedding"),
+                F.col("_a.cell").alias("cell"))
     )
     # (3) probe cells: 3 nearest centroids to the query vector
     qv = e.filter(F.col("vec_id") == 0).select(
