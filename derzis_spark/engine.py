@@ -1451,6 +1451,7 @@ class CrawlEngine:
         deduped per wave. Parents producing >=1 candidate are deleted."""
         total = 0
         proc_keys: DataFrame | None = None
+        pending_heads: list[DataFrame] = []
         parents = _semi_filter(
             self.spark,
             self.paths.filter(
@@ -1762,16 +1763,20 @@ class CrawlEngine:
             if new_paths is not None:
                 self.paths = self.paths.unionByName(new_paths)
             total += n_new + n_lit_heads
-            # register unseen heads (anti-join dedup inside); next wave
-            # = new heads whose resource is already done — a semi-join
-            # probe against the resources table. The head set stays a
-            # (checkpointed) DataFrame end to end; only its count
-            # reaches the driver
+            # unseen heads register as resources ONCE per cascade (see
+            # _extend's wave note: heads reached through the edge view
+            # were already discovered in their triple's round, so the
+            # per-wave insert is a no-op job tax); next wave = new
+            # heads whose resource is already done — a semi-join probe
+            # against the resources table (independent of the deferred
+            # insert: unvisited-row inserts never change DONE rows).
+            # The head set stays a (checkpointed) DataFrame end to end;
+            # only its count reaches the driver
             n_next = 0
             probe = None
             if n_new:
                 heads_df = new_url_df.select(F.col("gkey").alias("url"))
-                self._insert_new_urls(heads_df)
+                pending_heads.append(heads_df)
                 probe = heads_df.join(
                     self.resources.filter(
                         F.col("status") == "done").select("url"),
@@ -1787,6 +1792,11 @@ class CrawlEngine:
                 & (F.col("head_kind") == "url")) \
                 .join(probe, "head_url", "left_semi")
             n_parents = n_next
+        if pending_heads:
+            heads = pending_heads[0]
+            for extra in pending_heads[1:]:
+                heads = heads.unionByName(extra)
+            self._insert_new_urls(heads.distinct())
         if proc_keys is not None:
             self._ledger_commit(proc_keys)
         return total
@@ -1826,6 +1836,7 @@ class CrawlEngine:
             n_bf = bf.count()
         all_children: list[DataFrame] = []
         ext_seq_dfs: list[DataFrame] = []
+        pending_heads: list[DataFrame] = []
         proc_keys: DataFrame | None = None
         label_list = sorted(LABEL_PREDICATES)
         done_res = self.resources.filter(
@@ -1899,16 +1910,22 @@ class CrawlEngine:
             self.seq_counter += n
             all_children.append(children)
             ext_seq_dfs.append(children.select("parent_seq"))
-            # register unseen child heads as resources (oracle
-            # `_add_resource` during extension — the anti-join inside
-            # _insert_new_urls dedups against the seen-set table)
+            # unseen child heads must register as resources (oracle
+            # `_add_resource` during extension) — but a head reached
+            # through the edge view was ALREADY discovered in the round
+            # that produced its triple (_discover_urls inserts every
+            # named node of every round's quads), so the per-wave
+            # insert is a no-op in all but pathological cases. Batch
+            # the wave head sets and insert ONCE per cascade instead of
+            # paying three no-op jobs per wave (profiled ~0.8 s/wave ×
+            # ~35 waves on the 24k-page bench). The next-wave done
+            # probe below is independent of the insert (it joins the
+            # head set against the DONE rows, which an unvisited-row
+            # insert can never change).
             url_heads = children.filter(
                 F.col("head_kind") == "url").select(
                 F.col("head_url")).distinct()
-            _w1 = _time.time()
-            self._insert_new_urls(
-                url_heads.withColumnRenamed("head_url", "url"))
-            _wp["ins_s"] = round(_time.time() - _w1, 2)
+            pending_heads.append(url_heads)
             # next wave: blank heads chain immediately; url heads whose
             # resource is already done re-extend against the store.
             # The head set never reaches the driver — it's checkpointed
@@ -1932,6 +1949,13 @@ class CrawlEngine:
             # (AQE picks broadcast vs shuffle from its real size)
             parents = children.join(probe, "head_url", "left_semi")
             n_parents = n  # children of this wave bound the next parents
+        if pending_heads:
+            # the cascade's one head registration (see the wave note)
+            heads = pending_heads[0]
+            for extra in pending_heads[1:]:
+                heads = heads.unionByName(extra)
+            self._insert_new_urls(
+                heads.distinct().withColumnRenamed("head_url", "url"))
         if total_children:
             ext_df = ext_seq_dfs[0]
             for extra in ext_seq_dfs[1:]:
