@@ -112,6 +112,11 @@ class CrawlConfig:
     #: expected seen-set capacity for sizing the Bloom filter
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
+    #: capacity for the triple-key Bloom filter (MERGE collision
+    #: pre-pass): triples outnumber URLs ~10-50×, so it gets its own
+    #: sizing. A full filter only degrades fpp — every maybe-collision
+    #: still goes through the exact store semi-join
+    triple_bloom_capacity: int = 4_000_000
     user_agent: str = USER_AGENT
 
     def __post_init__(self) -> None:

@@ -95,6 +95,10 @@ _ENDS_SCHEMA = ("end string, dir_rank int, pred string, "
                 "node_kind string, node_raw string, node_key string, "
                 "node_c string, t_dt string, t_lang string")
 
+#: the triple-store MERGE key (Triple.ts unique index analog)
+TRIPLE_KEY = ["subject", "predicate", "object_kind", "object_value",
+              "object_datatype", "object_language"]
+
 
 def _semi_filter(spark, df, col: str, values, threshold: int = 64):
     """Membership filter that stays plan-friendly: literal isin for
@@ -135,6 +139,16 @@ class CrawlEngine:
         self._store_nonempty = False
         #: new-URL batches awaiting the per-checkpoint Bloom fold
         self._pending_bloom: list[DataFrame] = []
+        #: triple-key Bloom (MERGE collision pre-pass) and source-URL
+        #: Bloom (fetch-phase cache-probe pre-pass); both follow the
+        #: URL filter's lifecycle: built once executor-side, batches
+        #: queued per round and folded at checkpoint time, so each is
+        #: always fresh w.r.t. every PREVIOUS round — which is exactly
+        #: when the respective probes run. False positives fall back to
+        #: the exact store joins; false negatives are impossible
+        self._triple_bloom: BloomFilter | None = None
+        self._source_bloom: BloomFilter | None = None
+        self._pending_store_bloom: list[DataFrame] = []
         #: per-step config log (Process.steps analog) — the cross-run
         #: validator's precondition surface (validator/src/lib/
         #: cmp-results.ts:4-52 compares steps' maxPathLength /
@@ -163,6 +177,10 @@ class CrawlEngine:
         #: per-wave phase seconds of the most recent extension cascade
         #: (filled by _extend; surfaced in the round metrics row)
         self._last_extend_profile: list[dict] = []
+        #: sub-phase seconds of the most recent ingest (merge+discover);
+        #: profiling only — stripped from the committed manifest
+        self._last_ingest_profile: dict = {}
+        self._last_insert_profile: dict = {}
         # incremental edge view for path extension: rebuilt-from-scratch
         # would re-scan (and re-canonicalize) the whole triple store
         # every round; instead edges of the round's NEW (fresh) triple
@@ -839,13 +857,27 @@ class CrawlEngine:
                 # job until the first merge)
                 att_urls = self.spark.createDataFrame(
                     [(u,) for (u, _, _) in attempted], "url string")
-                src_exp = self.triples.select(
-                    F.explode("sources").alias("url"))
-                hits = {
-                    r["url"] for r in src_exp.join(
-                        F.broadcast(att_urls), "url", "left_semi")
-                    .distinct().collect()
-                }
+                if self._source_bloom is not None:
+                    # source-URL Bloom pre-pass: the schedule is round-
+                    # bounded (tiny probe job against the broadcast
+                    # word array), and a schedule that never re-visits
+                    # a triple source — the common case — skips the
+                    # O(store) explode scan entirely. False positives
+                    # ride into the exact semi-join below
+                    att_urls = att_urls.filter(
+                        self._source_bloom.might_contain(F.col("url"))
+                    ).localCheckpoint(eager=True)
+                    n_maybe_hit = att_urls.count()
+                else:
+                    n_maybe_hit = len(attempted)
+                if n_maybe_hit:
+                    src_exp = self.triples.select(
+                        F.explode("sources").alias("url"))
+                    hits = {
+                        r["url"] for r in src_exp.join(
+                            F.broadcast(att_urls), "url", "left_semi")
+                        .distinct().collect()
+                    }
             if hits:
                 hit_status = {u: "done" for u in hits}
                 hit_df = self.spark.createDataFrame(
@@ -1064,12 +1096,17 @@ class CrawlEngine:
         re-aggregation of the store), and only collisions take the
         merge join. The edge view gains the fresh rows' edges as a
         distributed projection (_ends_of)."""
-        key = ["subject", "predicate", "object_kind", "object_value",
-               "object_datatype", "object_language"]
+        import time as _time
+        prof = self._last_ingest_profile
+        key = TRIPLE_KEY
+        _p0 = _time.time()
         nt = quads.groupBy(*key).agg(
             F.sort_array(F.collect_set("source")).alias("sources")
         ).localCheckpoint(eager=True)  # one job, O(round's new keys)
         n_new = nt.count()  # cheap: counts the checkpointed partitions
+        prof["dedup_s"] = round(_time.time() - _p0, 2)
+        prof["n_new_keys"] = n_new
+        _p0 = _time.time()
 
         def nullsafe_cond(left, right):
             cond = None
@@ -1079,12 +1116,30 @@ class CrawlEngine:
             return cond
 
         nt_keys = nt.select(*key)
-        coll_keys = self.triples.select(*key).join(
-            self._maybe_bcast(nt_keys, n_new),
-            nullsafe_cond(self.triples, nt_keys),
-            "left_semi"
-        ).localCheckpoint(eager=True)  # the MERGE target scan
-        n_coll = coll_keys.count()
+        n_probe = n_new
+        if self._triple_bloom is not None:
+            # Bloom pre-pass over the round's keys: misses are
+            # definitely-fresh APPENDs, so when nothing maybe-collides
+            # the O(store) MERGE target scan is skipped entirely — the
+            # common case of a frontier fanning into new territory.
+            # False positives just ride into the exact semi-join below
+            nt_keys = nt_keys.filter(
+                self._triple_bloom.might_contain(*key)
+            ).localCheckpoint(eager=True)
+            n_probe = nt_keys.count()
+            prof["n_maybe_coll"] = n_probe
+        if n_probe == 0:
+            coll_keys = nt_keys  # empty — nothing to scan for
+            n_coll = 0
+        else:
+            coll_keys = self.triples.select(*key).join(
+                self._maybe_bcast(nt_keys, n_probe),
+                nullsafe_cond(self.triples, nt_keys),
+                "left_semi"
+            ).localCheckpoint(eager=True)  # the MERGE target scan
+            n_coll = coll_keys.count()
+        prof["coll_scan_s"] = round(_time.time() - _p0, 2)
+        prof["n_coll"] = n_coll
         if n_coll:
             upd = nt.join(
                 self._maybe_bcast(coll_keys, n_coll),
@@ -1105,31 +1160,85 @@ class CrawlEngine:
                     .otherwise(self.triples["sources"]).alias("sources"))
             )
             self._triples_dirty = True
-        fresh = nt.join(
-            self._maybe_bcast(coll_keys, n_coll),
-            nullsafe_cond(nt, coll_keys),
-            "left_anti")
+        if n_coll:
+            fresh = nt.join(
+                self._maybe_bcast(coll_keys, n_coll),
+                nullsafe_cond(nt, coll_keys),
+                "left_anti")
+        else:
+            fresh = nt  # every key was new — pure append
         self.triples = self.triples.unionByName(fresh)
         self.ends = self.ends.unionByName(self._ends_of(fresh))
         self._store_nonempty = True
+        # queue the round's keys+sources for the store filters' fold at
+        # checkpoint time (nt covers fresh ∪ collisions; re-adding a
+        # present key is an idempotent OR)
+        self._pending_store_bloom.append(nt)
 
     def _discover_urls(self, quads: DataFrame) -> None:
         """New-URL discovery (Resource.addFromTriples,
-        manager/src/lib/Manager.ts:352-410): named nodes → canonicalize
-        → seen-set anti-join (Bloom pre-pass) → insert unvisited."""
+        manager/src/lib/Manager.ts:352-410): named nodes → raw-node
+        DISTINCT (nodes repeat across triples — object URIs especially;
+        dedup is a JVM shuffle, parsing is Python) → ONE fused
+        canonicalize+origin parse per distinct node → canonical
+        distinct → seen-set anti-join (Bloom pre-pass) → insert."""
+        import time as _time
+        co = udfs.canonicalize_with_origin(F.col("node"))
         nodes = (
             quads.select(F.col("subject").alias("node"))
             .unionByName(quads.filter(F.col("object_kind") == "uri")
                          .select(F.col("object_value").alias("node")))
             .filter(~F.col("node").startswith("_:"))
-            .withColumn("url", udfs.canonicalize_url(F.col("node")))
-            .filter(F.col("url").isNotNull())
-            .select("url").distinct()
+            .distinct()
+            .select(co.alias("co"))
+            .filter(F.col("co.url").isNotNull())
+            .select("co.url", "co.origin").distinct()
         )
-        self._insert_new_urls(nodes, use_bloom=True)
+        if os.environ.get("DERZIS_INGEST_PROFILE"):
+            _stages = {}
+            _s0 = _time.time()
+            raw = (quads.select(F.col("subject").alias("node"))
+                   .unionByName(
+                       quads.filter(F.col("object_kind") == "uri")
+                       .select(F.col("object_value").alias("node")))
+                   .filter(~F.col("node").startswith("_:"))
+                   .distinct().localCheckpoint(eager=True))
+            n_raw = raw.count()
+            _stages["scan_distinct_s"] = round(_time.time() - _s0, 2)
+            _s0 = _time.time()
+            canon = (raw.select(co.alias("co"))
+                     .filter(F.col("co.url").isNotNull())
+                     .select("co.url", "co.origin").distinct()
+                     .localCheckpoint(eager=True))
+            n_canon = canon.count()
+            _stages["canon_s"] = round(_time.time() - _s0, 2)
+            _s0 = _time.time()
+            if self._bloom is not None:
+                probed = canon.withColumn(
+                    "_m", self._bloom.might_contain(F.col("url"))
+                ).localCheckpoint(eager=True)
+                n_maybe = probed.filter(F.col("_m")).count()
+                _stages["probe_s"] = round(_time.time() - _s0, 2)
+                _s0 = _time.time()
+                anti = (probed.filter(F.col("_m")).drop("_m")
+                        .join(self.resources.select("url"), "url",
+                              "left_anti").localCheckpoint(eager=True))
+                anti.count()
+                _stages["anti_s"] = round(_time.time() - _s0, 2)
+                _stages["n_maybe"] = n_maybe
+            _stages.update(n_raw_distinct=n_raw, n_canon=n_canon)
+            self._last_ingest_profile["stages"] = _stages
+        _p0 = _time.time()
+        n = self._insert_new_urls(nodes, use_bloom=True, has_origin=True)
+        self._last_ingest_profile["discover_s"] = round(
+            _time.time() - _p0, 2)
+        self._last_ingest_profile["n_discovered"] = n
+        self._last_ingest_profile.update(
+            {f"disc_{k}": v for k, v in self._last_insert_profile.items()})
 
     def _insert_new_urls(self, urls: DataFrame,
-                         use_bloom: bool = False) -> int:
+                         use_bloom: bool = False,
+                         has_origin: bool = False) -> int:
         """Insert previously-unseen URLs into the seen-set; returns the
         number inserted. The anti-join is the scale path; the Bloom
         pre-pass (``use_bloom`` — the once-per-round discovery call,
@@ -1141,7 +1250,14 @@ class CrawlEngine:
         batches queue in ``_pending_bloom`` and fold into the filter
         executor-side (partial union) once per checkpoint, so the
         filter is always fresh w.r.t. every PREVIOUS round — exactly
-        what the pre-pass's correctness needs."""
+        what the pre-pass's correctness needs. ``has_origin``: the
+        caller already carries an ``origin`` column (the discovery
+        path's fused canonicalize+origin parse) — skip the second
+        URL-parse UDF here."""
+        import time as _time
+        iprof: dict = {}
+        self._last_insert_profile = iprof
+        _p0 = _time.time()
         if use_bloom and self.cfg.use_bloom and self._bloom is not None:
             # zero per-row-Python pre-pass: xxhash64 in codegen, then k
             # vectorized numpy probes per Arrow batch against the
@@ -1158,16 +1274,20 @@ class CrawlEngine:
         else:
             new_urls = urls.join(
                 self.resources.select("url"), "url", "left_anti")
-        new_res = new_urls.withColumn(
-            "origin", udfs.url_origin(F.col("url"))
-        ).select("url", "origin", F.lit("unvisited").alias("status"),
-                 F.lit(None).cast("int").alias("crawl_round"),
-                 F.lit(None).cast("int").alias("crawl_counter"))
+        if not has_origin:
+            new_urls = new_urls.withColumn(
+                "origin", udfs.url_origin(F.col("url")))
+        new_res = new_urls.select(
+            "url", "origin", F.lit("unvisited").alias("status"),
+            F.lit(None).cast("int").alias("crawl_round"),
+            F.lit(None).cast("int").alias("crawl_counter"))
         # one materialization job tells us whether anything is new (the
         # common wave case is an empty insert — it pays one job either
         # way); counts on the checkpointed partitions are ~free
         new_res = new_res.localCheckpoint(eager=True)
         n = new_res.count()
+        iprof["ckpt_s"] = round(_time.time() - _p0, 2)
+        _p0 = _time.time()
         if n == 0:
             return 0
         self.resources = self.resources.unionByName(new_res)
@@ -1226,6 +1346,7 @@ class CrawlEngine:
                      .alias("last_warnings")))
                 self._unvisited_domains += n_new_org
                 self._n_domains += n_new_org
+        iprof["origin_s"] = round(_time.time() - _p0, 2)
         return n
 
     def _flush_bloom(self) -> None:
@@ -1236,15 +1357,26 @@ class CrawlEngine:
         eventual full build in ``run()`` supersedes them and clears the
         queue, and keeping them means any other future consumer stays
         correct without relying on that rebuild."""
-        if not self._pending_bloom:
-            return
-        if self._bloom is None:
-            return  # keep batches pending until a filter exists
-        batch = self._pending_bloom[0]
-        for extra in self._pending_bloom[1:]:
-            batch = batch.unionByName(extra)
-        self._bloom.merge_from(batch, "url")
-        self._pending_bloom = []
+        if self._pending_bloom and self._bloom is not None:
+            batch = self._pending_bloom[0]
+            for extra in self._pending_bloom[1:]:
+                batch = batch.unionByName(extra)
+            self._bloom.merge_from(batch, "url")
+            self._pending_bloom = []
+        # the store filters share one queue of (checkpointed) per-round
+        # merged-triple batches: keys feed the triple filter, exploded
+        # sources feed the source filter — two small fold jobs per
+        # checkpoint window
+        if self._pending_store_bloom and self._triple_bloom is not None:
+            batch = self._pending_store_bloom[0]
+            for extra in self._pending_store_bloom[1:]:
+                batch = batch.unionByName(extra)
+            self._triple_bloom.merge_from(batch, *TRIPLE_KEY)
+            if self._source_bloom is not None:
+                self._source_bloom.merge_from(
+                    batch.select(F.explode("sources").alias("url")),
+                    "url")
+            self._pending_store_bloom = []
 
     # ------------------------------------------------------------------
     # path extension (TraversalPath.ts:219-399 as joins/windows)
@@ -2151,9 +2283,23 @@ class CrawlEngine:
             # fixed-size word array
             self._bloom = BloomFilter.build(
                 self.spark, self.resources, "url",
-                self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+                capacity=self.cfg.bloom_capacity, fpp=self.cfg.bloom_fpp)
             # the full build covers any batches queued before it
             self._pending_bloom = []
+        if self.cfg.use_bloom and self._triple_bloom is None:
+            # store-side filters (fresh-start: both build from an empty
+            # store; resume: one store scan rebuilds each, same as the
+            # URL filter rebuilding from the restored resources table)
+            self._triple_bloom = BloomFilter.build(
+                self.spark, self.triples, *TRIPLE_KEY,
+                capacity=self.cfg.triple_bloom_capacity,
+                fpp=self.cfg.bloom_fpp)
+            self._source_bloom = BloomFilter.build(
+                self.spark,
+                self.triples.select(F.explode("sources").alias("url")),
+                "url", capacity=self.cfg.bloom_capacity,
+                fpp=self.cfg.bloom_fpp)
+            self._pending_store_bloom = []
         import time as _time
         while self.round < cap:
             _t = {}
@@ -2235,11 +2381,14 @@ class CrawlEngine:
                     (o, {k: lst.count(k) for k in dict.fromkeys(lst)}, lst)
                     for o, lst in warn_by_origin.items()])
                 _t1 = _time.time()
+                self._last_ingest_profile = {}
                 if quads is not None:
                     quads.cache()
                     self._merge_triples(quads)
                     self._discover_urls(quads)
                 _t["ingest_s"] = round(_time.time() - _t1, 2)
+                if self._last_ingest_profile:
+                    _t["ingest_detail"] = dict(self._last_ingest_profile)
                 fetched_done = [t[2] for t in trace if t[4] == "done"]
                 n_done = len(fetched_done)
                 _t1 = _time.time()
@@ -2269,7 +2418,8 @@ class CrawlEngine:
                 # manifest (stable schema for downstream bench/compare
                 # tooling; they remain on self.metrics for profiling)
                 self._commit(
-                    {k: v for k, v in metrics.items() if k != "waves"})
+                    {k: v for k, v in metrics.items()
+                     if k not in ("waves", "ingest_detail")})
             else:
                 self._checkpoint_local()
             metrics["snapshot_s"] = round(_time.time() - _t1, 2)

@@ -97,6 +97,19 @@ def url_origin(url: str | None) -> str | None:
     return f"{parts.scheme}://{parts.netloc}"
 
 
+def canonicalize_with_origin(url: str | None) -> tuple[str, str] | None:
+    """One-parse ``(canonicalize_url(u), url_origin(u))`` pair (or None
+    if invalid). The canonical form is ``scheme://netloc`` + a path
+    that always starts with ``/``, so the origin is the prefix up to
+    the first ``/`` after ``://`` — no second urlsplit. Equality with
+    the two single-value functions is property-tested
+    (tests/test_property_core.py)."""
+    cu = canonicalize_url(url)
+    if cu is None:
+        return None
+    return cu, cu[: cu.index("/", cu.index("://") + 3)]
+
+
 def is_blank_node_id(value: str | None) -> bool:
     """Reference: common/src/lib/mongoose-validators.ts (startswith '_:', len>2)."""
     return isinstance(value, str) and value.startswith("_:") and len(value) > 2

@@ -14,7 +14,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType, BooleanType, DoubleType, StringType,
+    ArrayType, BooleanType, DoubleType, StringType, StructField,
+    StructType,
 )
 
 from derzis_spark.functions import core
@@ -29,6 +30,19 @@ def canonicalize_url(urls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def url_origin(urls: pd.Series) -> pd.Series:
     return urls.map(core.url_origin, na_action="ignore")
+
+
+@pandas_udf(StructType([StructField("url", StringType()),
+                        StructField("origin", StringType())]))
+def canonicalize_with_origin(urls: pd.Series) -> pd.DataFrame:
+    """Fused (canonical URL, origin) in ONE parse per input — the
+    discovery hot loop canonicalizes and needs the origin of every new
+    URL anyway; two separate UDFs would parse each URL twice (plus an
+    extra Arrow round-trip)."""
+    pairs = urls.map(core.canonicalize_with_origin, na_action="ignore")
+    return pd.DataFrame(
+        {"url": pairs.map(lambda p: p[0], na_action="ignore"),
+         "origin": pairs.map(lambda p: p[1], na_action="ignore")})
 
 
 @pandas_udf(StringType())

@@ -130,19 +130,25 @@ class BloomFilter:
         return self
 
     # -- Spark integration --------------------------------------------
+    # key columns may be names or Column expressions; multi-column keys
+    # hash through one codegen'd ``xxhash64(c1, c2, …)`` (null columns
+    # are skipped by Spark's hash — a (a,null)/(null,a) collision is
+    # just another false positive, verified by the exact join behind
+    # every probe; identical key tuples always hash identically, so no
+    # false negatives)
     @classmethod
-    def build(cls, spark, df, key_col: str, capacity: int,
+    def build(cls, spark, df, *key_cols, capacity: int,
               fpp: float = 0.01) -> "BloomFilter":
         """One executor-side job: xxhash64 in codegen → per-partition
         partial word arrays folded per Arrow batch → driver ORs the
-        fixed-size partials. No URL (or hash) set ever materializes on
+        fixed-size partials. No key (or hash) set ever materializes on
         the driver."""
         bf = cls(capacity, fpp)
         bf._spark = spark
-        bf._fold_df(df, key_col)
+        bf._fold_df(df, *key_cols)
         return bf
 
-    def _fold_df(self, df, key_col: str) -> None:
+    def _fold_df(self, df, *key_cols) -> None:
         import pyarrow as pa
         from pyspark.sql import functions as F
 
@@ -157,23 +163,30 @@ class BloomFilter:
             yield pa.RecordBatch.from_arrays(
                 [pa.array([part.words.tobytes()])], names=["bits"])
 
-        hdf = df.select(F.xxhash64(F.col(key_col)).alias("h"))
+        cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+        hdf = df.select(F.xxhash64(*cols).alias("h"))
+        # one partial per fold task is m/8 bytes on the driver; cap the
+        # collected total at ~128 MB by coalescing the hash column (the
+        # fold itself is vectorized, so fewer-but-fatter tasks are fine)
+        max_parts = max(1, (128 << 20) // max(1, self.words.nbytes))
+        if hdf.rdd.getNumPartitions() > max_parts:
+            hdf = hdf.coalesce(max_parts)
         for row in hdf.mapInArrow(fold, "bits binary").collect():
             self.words |= np.frombuffer(row["bits"], dtype=np.uint64)
         self._invalidate()
 
-    def merge_from(self, df, key_col: str) -> None:
+    def merge_from(self, df, *key_cols) -> None:
         """Fold a batch of new keys into the filter (same-shaped
         partial built executor-side, bitwise OR)."""
-        self._fold_df(df, key_col)
+        self._fold_df(df, *key_cols)
 
     def _invalidate(self) -> None:
         if self._bc is not None:
             self._bc.unpersist(blocking=False)
             self._bc = None
 
-    def might_contain(self, col):
-        """Column[bool]: Bloom membership of the (string) column.
+    def might_contain(self, *cols):
+        """Column[bool]: Bloom membership of the key column(s).
         Hashing runs JVM-side; the probe is k vectorized numpy ops per
         Arrow batch against the broadcast word array (false ⇒
         definitely new; true ⇒ maybe seen)."""
@@ -197,7 +210,8 @@ class BloomFilter:
                 ok &= (words[w_idx] & bit) != 0
             return pd.Series(ok)
 
-        return _probe(F.xxhash64(col))
+        kcols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        return _probe(F.xxhash64(*kcols))
 
 
 def _h64(value: str, salt: int) -> int:

@@ -93,3 +93,16 @@ def test_blank_node_namespacing_injective_per_source(a, b):
     if a != b:
         assert (core.make_blank_node_id("http://x.org/p", a)
                 != core.make_blank_node_id("http://x.org/p", b))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urlish)
+def test_canonicalize_with_origin_matches_pair(u):
+    # the fused one-parse discovery kernel must agree exactly with the
+    # two single-value functions it replaces (functions/core.py)
+    co = core.canonicalize_with_origin(u)
+    cu = core.canonicalize_url(u)
+    if cu is None:
+        assert co is None
+    else:
+        assert co == (cu, core.url_origin(u))
