@@ -31,6 +31,18 @@ broadcast/literal copies (one per Spark job) thrashed a long-running
 driver into full-GC livelock. A broadcast variable costs one transfer
 per executor per version instead of one per job.
 
+Sizing at the top of the north rule's range: 10^10 keys × ~9.6
+bits/key (1% fpp) is ~12 GB of words — past the 8 GB broadcast limit
+and too big for one executor. The design at that scale is R range
+shards of one filter: shard s holds the keys whose ``xxhash64`` falls
+in its range, the probe side repartitions by the same hash ranges, and
+each task loads only its ~words/R shard (the partial-union build below
+already produces exactly these shards if the fold keys are
+range-partitioned first). Down a tier, capacity overflow degrades
+gracefully instead of breaking: fpp rises, so the exact join behind
+every probe just sees a bigger probe side — correctness never depends
+on the sizing.
+
 Deletions (the ``resetErrors`` step flag reverts error→unvisited,
 models/src/Process/Process.ts:562-664 — and a re-queued URL must be
 *fetchable* again but stays in the seen set, so only full removals of
@@ -166,9 +178,13 @@ class BloomFilter:
         cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
         hdf = df.select(F.xxhash64(*cols).alias("h"))
         # one partial per fold task is m/8 bytes on the driver; cap the
-        # collected total at ~128 MB by coalescing the hash column (the
-        # fold itself is vectorized, so fewer-but-fatter tasks are fine)
-        max_parts = max(1, (128 << 20) // max(1, self.words.nbytes))
+        # collected total at ~16 MB by coalescing the hash column — the
+        # fold is vectorized (µs per 100k keys), so the collect's
+        # serialization dominates: measured 3.4 s at 16×8 MB partials
+        # vs 0.5 s at 2×8 MB for the same 400k keys. Giant filters
+        # (≥128 MB words) degrade to one fold task — at that scale fold
+        # partials pairwise executor-side instead (module docstring)
+        max_parts = max(1, (16 << 20) // max(1, self.words.nbytes))
         if hdf.rdd.getNumPartitions() > max_parts:
             hdf = hdf.coalesce(max_parts)
         for row in hdf.mapInArrow(fold, "bits binary").collect():
