@@ -53,6 +53,20 @@ SQL_DEDUP_EXACT = """
 """
 
 
+def _minhash_wide(spark, sf_dir) -> DataFrame:
+    """One row per doc: (doc_id, s0..s7) — the single hash-agg pass
+    shared by the signature query (which posexplodes it) and the band
+    queries (which build band values straight from the wide columns,
+    skipping the re-group of 8 rows/doc back into bands)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("w"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(h)), F.col("w"))
+                    .cast("binary"))).alias(f"s{h}")
+        for h in range(N_MINHASH)]
+    return tokens.groupBy("doc_id").agg(*aggs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures over token sets: sig_h = min(md5(h || token))
     for h in 0..7. Cross-engine identical because md5 hex strings
@@ -62,13 +76,7 @@ def q_minhash_signatures(spark, sf_dir):
     hash-agg pass over the token rows (the ``q_minhash64_signatures``
     shape) — no 8× crossJoin row explosion through the shuffle; the
     8 md5 calls per token are the operator's definition."""
-    d = load(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(_words()).alias("w"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(h)), F.col("w"))
-                    .cast("binary"))).alias(f"s{h}")
-        for h in range(N_MINHASH)]
-    wide = tokens.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(spark, sf_dir)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"s{h}") for h in range(N_MINHASH)]))
@@ -88,14 +96,21 @@ def q_minhash_lsh_buckets(spark, sf_dir):
     """MinHash-LSH banding: band b = concat of 2 consecutive sigs;
     bucket histogram per (band_id, band_value) with >1 member — the
     candidate-pair buckets, reported as sizes (scale-safe: avoids the
-    quadratic pair blow-up on near-identical corpora)."""
-    sigs = q_minhash_signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band_id", (F.col("h") / 2).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("sig")))
-             .alias("band_value"))
-    )
+    quadratic pair blow-up on near-identical corpora).
+
+    Bands come straight off the wide signature row (band b = the
+    sig-sorted concat of s_{2b}, s_{2b+1}), so the whole plan has ONE
+    shuffle on doc tokens and one on band buckets — the old
+    posexplode → groupBy(doc_id, band_id) path re-shuffled 8 rows/doc
+    just to reassemble columns that were already on one row."""
+    wide = _minhash_wide(spark, sf_dir)
+    vals = [
+        F.concat_ws("|", F.array_sort(
+            F.array(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))))
+        for b in range(N_MINHASH // 2)]
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(F.array(*vals)).alias("band_id", "band_value"))
     return (
         bands.groupBy("band_id", "band_value")
         .agg(F.count("*").alias("bucket_size"),
@@ -179,16 +194,8 @@ def q_jaccard_near_dup(spark, sf_dir):
     dedup consumes). Survivors are verified with exact token-set
     Jaccard via a JVM ``array_intersect`` on the docs' distinct-token
     arrays — no token row explosion anywhere in the plan."""
-    rpb = MINHASH64_ROWS_PER_BAND
     cap = JACCARD_BUCKET_CAP
-    sigs = q_minhash64_signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band_id", (F.col("h") / rpb).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.concat_ws("|", F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "sig"))),
-            lambda s: s["sig"].cast("string"))).alias("band_value"))
-    )
+    bands = _minhash64_bands(spark, sf_dir)
     binfo = bands.groupBy("band_id", "band_value").agg(
         F.count("*").alias("bsz"), F.min("doc_id").alias("bmin"))
     bx = bands.join(binfo, ["band_id", "band_value"])
@@ -256,12 +263,9 @@ def _token_base_col(w_col):
         16, 10).cast("long") % F.lit(MINHASH64_P)
 
 
-def q_minhash64_signatures(spark, sf_dir):
-    """Production-parameter MinHash: 64 permutations with int64 hash
-    values — ONE md5 per token plus 64 affine permuters (a_i·x+b_i
-    mod 2^31-1), computed as 64 min aggregations in ONE map-side-
-    combinable hash-agg pass over the token rows (no 64× row
-    explosion, no 64× hashing, all whole-stage-codegen JVM exprs)."""
+def _minhash64_wide(spark, sf_dir) -> DataFrame:
+    """One row per doc: (doc_id, s0..s63) — the single hash-agg pass
+    shared by the signature query and the LSH band queries."""
     d = load(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(_words()).alias("w")
@@ -270,7 +274,34 @@ def q_minhash64_signatures(spark, sf_dir):
         F.min((F.lit(a) * F.col("bm") + F.lit(b)) % F.lit(MINHASH64_P))
         .alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH64_AB)]
-    wide = tokens.groupBy("doc_id").agg(*aggs)
+    return tokens.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash64_bands(spark, sf_dir) -> DataFrame:
+    """(doc_id, band_id, band_value) straight from the wide signature
+    row: band b concatenates s_{8b}..s_{8b+7} in h order — exactly the
+    string the old posexplode → groupBy(doc_id, band_id) →
+    sort-by-h concat produced, without re-shuffling 64 rows/doc to
+    reassemble columns that already live on one row. At 10^9 docs
+    that skipped exchange is 64× the doc count in rows."""
+    rpb = MINHASH64_ROWS_PER_BAND
+    wide = _minhash64_wide(spark, sf_dir)
+    vals = [
+        F.concat_ws("|", *[F.col(f"s{b * rpb + r}").cast("string")
+                           for r in range(rpb)])
+        for b in range(N_MINHASH64 // rpb)]
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*vals)).alias("band_id", "band_value"))
+
+
+def q_minhash64_signatures(spark, sf_dir):
+    """Production-parameter MinHash: 64 permutations with int64 hash
+    values — ONE md5 per token plus 64 affine permuters (a_i·x+b_i
+    mod 2^31-1), computed as 64 min aggregations in ONE map-side-
+    combinable hash-agg pass over the token rows (no 64× row
+    explosion, no 64× hashing, all whole-stage-codegen JVM exprs)."""
+    wide = _minhash64_wide(spark, sf_dir)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"s{i}")
@@ -333,16 +364,12 @@ def q_jaccard_lsh_pairs(spark, sf_dir):
     quadratic (measured 9.8M pairs from 5k docs at sf0.1); rep edges
     keep the output O(n × bands) while still linking every near-dup to
     its cluster keeper — the shape a 100 TB dedup actually runs.
-    Surviving edges are verified with exact token-set Jaccard ≥ 0.8."""
-    rpb = MINHASH64_ROWS_PER_BAND
-    sigs = q_minhash64_signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band_id", (F.col("h") / rpb).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.concat_ws("|", F.transform(
-            F.array_sort(F.collect_list(F.struct("h", "sig"))),
-            lambda s: s["sig"].cast("string"))).alias("band_value"))
-    )
+    Surviving edges are verified with exact token-set Jaccard ≥ 0.8.
+
+    Bands come from ``_minhash64_bands`` (built on the wide signature
+    row), so the plan shuffles tokens once and band buckets once —
+    no 64-rows/doc reassembly exchange."""
+    bands = _minhash64_bands(spark, sf_dir)
     mins = bands.groupBy("band_id", "band_value").agg(
         F.min("doc_id").alias("a"))
     cand = (
