@@ -94,3 +94,60 @@ def test_over_threshold_endpoint_blank_crawl_exact_match(spark):
     engine = CrawlEngine(spark, pages, robots, cfg)
     engine.run(seeds, max_rounds=8)
     assert_match(oracle, engine)
+
+
+def test_over_threshold_wave_crawl_exact_match(spark):
+    """wave_broadcast_limit=0 forces every cascade wave onto the
+    shuffle-join path (the mega-wave regime) — the crawl must still
+    match the oracle bit-for-bit."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=12,
+                      wave_broadcast_limit=0)
+    oracle = run_oracle_on_fixture(fx, cfg, max_rounds=12)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=12)
+    assert_match(oracle, engine)
+
+
+def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
+    """On the forced-shuffle path the wave candidate plan must carry
+    exactly TWO exchanges (one per join input): the child dedup's
+    grouping keys lead with the join key p_head, so the aggregation's
+    clustering requirement is satisfied by the join's
+    hashpartitioning(p_head) output and the fat child rows
+    (nodes/predicates arrays) never reshuffle. A regression that
+    drops p_head from the grouping keys re-adds a third exchange
+    between the join and the aggregation."""
+    plans = []
+    orig = CrawlEngine._extend_wave
+
+    def spy(self, rnd, parents, ends, bf, n_parents, n_bf=0):
+        df = orig(self, rnd, parents, ends, bf, n_parents, n_bf)
+        # capture BEFORE the caller caches it (caching rewrites the
+        # physical plan onto InMemoryRelation)
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return df
+
+    monkeypatch.setattr(CrawlEngine, "_extend_wave", spy)
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=6,
+                      wave_broadcast_limit=0)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    # dropping the hint is not enough at test scale: statistics still
+    # let Catalyst broadcast the tiny sides, which is not the mega-wave
+    # plan under test — force the genuine shuffle join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        engine.run(seeds, max_rounds=6)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plans, "no cascade wave ran"
+    for p in plans:
+        n_ex = p.count("Exchange hashpartitioning")
+        assert "BroadcastHashJoin" not in p
+        assert n_ex == 2, f"expected 2 shuffle exchanges, got {n_ex}:\n{p[:2000]}"
