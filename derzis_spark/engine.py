@@ -121,6 +121,12 @@ def _semi_filter(spark, df, col: str, values, threshold: int = 64):
 class CrawlEngine:
     """Round-synchronous BSP crawl over Spark DataFrames."""
 
+    #: tables eligible for delta (append-snapshot) commits — the ones
+    #: whose rows only ever APPEND in the common case; resources /
+    #: domains / paths mutate statuses every round and always rewrite
+    DELTA_TABLES = ("triples", "trace", "proc_triples",
+                    "proc_done_resources")
+
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  robots: DataFrame, config: CrawlConfig | None = None,
                  work_dir: str | None = None):
@@ -212,6 +218,17 @@ class CrawlEngine:
         # checkpoint them every N rounds to bound plan depth
         self._ckpt_calls = 0
         self.append_ckpt_every = 16
+        # delta-commit accounting (Iceberg append snapshots): the rows
+        # each append-only table gained since the last snapshot commit,
+        # and whether existing rows were REWRITTEN (collision merge) —
+        # a rewrite disqualifies the table from a delta commit for that
+        # round. Chains longer than snapshot_compact_chain compact back
+        # to a full write so a reader never unions unbounded dirs.
+        self._append_deltas: dict[str, list[DataFrame]] = {
+            t: [] for t in self.DELTA_TABLES}
+        self._append_rewritten: dict[str, bool] = {
+            t: False for t in self.DELTA_TABLES}
+        self.snapshot_compact_chain = 16
 
     @property
     def trace(self) -> DataFrame:
@@ -276,6 +293,7 @@ class CrawlEngine:
         self._proc_triples_df = self.spark.createDataFrame(
             [], schemas.RAW_TRIPLE)
         self._proc_done_df = self.spark.createDataFrame([], "url string")
+        self._reset_delta_state()
         self.seq_counter = len(seed_rows)
         self.round = 0
         self._record_step(
@@ -336,28 +354,73 @@ class CrawlEngine:
         self._proc_done_df = tables.get(
             "proc_done_resources",
             self.spark.createDataFrame([], "url string"))
+        self._reset_delta_state()
         # rebuild the edge view once from the triple store
         # (a full scan at resume, then incremental again)
         self.ends = self._ends_of(self.triples).localCheckpoint(eager=True)
         self._store_nonempty = True
 
+    def _reset_delta_state(self) -> None:
+        """Forget per-commit delta accounting — called whenever the
+        in-memory tables re-sync with a snapshot (bootstrap, resume,
+        post-commit reload)."""
+        self._append_deltas = {t: [] for t in self.DELTA_TABLES}
+        self._append_rewritten = {t: False for t in self.DELTA_TABLES}
+
     def _commit(self, metrics: dict) -> None:
+        full = {
+            # these mutate in place every round (statuses, clocks,
+            # frontier flips) — always a full rewrite
+            "resources": self.resources,
+            "domains": self.domains,
+            "paths": self.paths,
+        }
+        # append-only tables take Iceberg-style delta commits: write
+        # ONLY the rows added since the last snapshot and chain the
+        # manifest paths, so commit I/O scales with the round, not the
+        # store. Fall back to a full write when existing rows were
+        # rewritten (triple collision merge), when the chain is due for
+        # compaction, or on the first commit. The proc ledgers dedup at
+        # READ time (merge-on-read): a key re-extending in a later
+        # round lands in that round's delta and compaction distincts —
+        # the authoritative read surface (proc_triples property /
+        # assert_match) was already distinct-at-read.
+        compact = {
+            "triples": lambda: self.triples,
+            "trace": lambda: self.trace,
+            "proc_triples": lambda: self._proc_triples_df.distinct()
+            .orderBy("subject", "predicate", "object_kind",
+                     "object_value", "object_datatype",
+                     "object_language"),
+            "proc_done_resources":
+                lambda: self._proc_done_df.distinct().orderBy("url"),
+        }
+        prev_rnd = self.store.latest_round()
+        prev = self.store.read_manifest(prev_rnd) \
+            if prev_rnd is not None else None
+        deltas: dict[str, DataFrame] = {}
+        for name in self.DELTA_TABLES:
+            pinfo = (prev or {}).get("tables", {}).get(name)
+            chain = len(self.store.table_paths(pinfo)) if pinfo else 0
+            if (pinfo is None or self._append_rewritten[name]
+                    or chain >= self.snapshot_compact_chain):
+                full[name] = compact[name]()
+                continue
+            parts = self._append_deltas[name]
+            delta = compact[name]().limit(0)  # empty: carry forward
+            for p in parts:
+                delta = delta.unionByName(p)
+            if name in ("proc_triples", "proc_done_resources"):
+                # key-sorted files compress ~2× better (measured 9.0 →
+                # 5-ish MB on the megaround ledger delta); O(round) sort
+                delta = delta.orderBy(*delta.columns)
+            deltas[name] = delta
         self.store.commit(
-            self.spark, self.round,
-            {
-                "resources": self.resources,
-                "domains": self.domains,
-                "paths": self.paths,
-                "triples": self.triples,
-                "trace": self.trace,
-                "proc_triples": self._proc_triples_df.distinct().orderBy(
-                    "subject", "predicate", "object_kind", "object_value",
-                    "object_datatype", "object_language"),
-                "proc_done_resources":
-                    self._proc_done_df.distinct().orderBy("url"),
-            },
+            self.spark, self.round, full,
             metrics, self.seq_counter,
             steps=self._step_log,
+            deltas=deltas,
+            prev_manifest=prev,
             # Iceberg bucket(n, key)-style hash partitioning for the
             # big tables (north rule: salted domain/url-hash-partitioned
             # frontier state); per-bucket row counts go to the manifest
@@ -378,6 +441,7 @@ class CrawlEngine:
         self._proc_done_df = tables["proc_done_resources"]
         self.ends = self.ends.localCheckpoint(eager=True)
         self._triples_dirty = False
+        self._reset_delta_state()
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
@@ -413,6 +477,9 @@ class CrawlEngine:
             for t, fut in futs.items():
                 setattr(self, t, fut.result())
         self._triples_dirty = False
+        # no snapshot store ⇒ no delta commit will ever consume these;
+        # drop them so checkpointed delta frames can be GC'd
+        self._reset_delta_state()
         for c in self._wave_caches:
             c.unpersist()
         self._wave_caches = []
@@ -1052,6 +1119,7 @@ class CrawlEngine:
                  "object_datatype", "object_language"]
         keys = keys.distinct().localCheckpoint(eager=True)
         self._proc_triples_df = self._proc_triples_df.unionByName(keys)
+        self._append_deltas["proc_triples"].append(keys)
         norm = self.triples.select(
             "subject", "predicate", "object_kind", "object_value",
             F.coalesce("object_datatype", F.lit(""))
@@ -1068,6 +1136,7 @@ class CrawlEngine:
             .localCheckpoint(eager=True)
         )
         self._proc_done_df = self._proc_done_df.unionByName(src)
+        self._append_deltas["proc_done_resources"].append(src)
 
     def _maybe_bcast(self, df: DataFrame, n_keys: int,
                      limit: int | None = None) -> DataFrame:
@@ -1169,6 +1238,12 @@ class CrawlEngine:
             fresh = nt  # every key was new — pure append
         self.triples = self.triples.unionByName(fresh)
         self.ends = self.ends.unionByName(self._ends_of(fresh))
+        # delta-commit accounting: fresh keys ride the next snapshot's
+        # append delta; a collision merge rewrote existing rows, which
+        # forces that snapshot back to a full triples write
+        self._append_deltas["triples"].append(fresh)
+        if n_coll:
+            self._append_rewritten["triples"] = True
         self._store_nonempty = True
         # queue the round's keys+sources for the store filters' fold at
         # checkpoint time (nt covers fresh ∪ collisions; re-adding a
@@ -2328,8 +2403,10 @@ class CrawlEngine:
                 # append-only trace table: the round's rows (schedule-
                 # bounded) join the distributed trace; the accumulated
                 # trace never lives on the driver
-                self._trace_df = self._trace_df.unionByName(
-                    self.spark.createDataFrame(trace, schemas.TRACE))
+                trace_rows = self.spark.createDataFrame(
+                    trace, schemas.TRACE)
+                self._trace_df = self._trace_df.unionByName(trace_rows)
+                self._append_deltas["trace"].append(trace_rows)
                 # politeness charge: attempted fetches bump next_allowed
                 # (oracle: next_allowed = rnd + crawl_delay per access)
                 charged = sorted({

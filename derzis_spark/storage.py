@@ -37,10 +37,55 @@ class SnapshotStore:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"r{rnd:04d}")
 
+    @staticmethod
+    def table_paths(info: dict) -> list[str]:
+        """Resolve a manifest table entry to its data paths: delta
+        entries carry a ``paths`` chain (base + appended delta dirs);
+        full entries carry a single ``path``."""
+        return list(info.get("paths") or [info["path"]])
+
+    def _write_one(self, spark, df, path: str, spec, partition_cols):
+        """Write one parquet dir (bucketed when ``spec``); returns
+        (row_count, per-bucket counts or None)."""
+        from pyspark.sql import functions as F
+
+        writer_df = df
+        cols = list(partition_cols or [])
+        if spec:
+            key_col, n_buckets = spec
+            writer_df = df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(key_col)),
+                       F.lit(n_buckets)).cast("int"))
+            cols = [BUCKET_COL] + cols
+        writer = writer_df.write.mode("overwrite")
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
+        try:
+            back = spark.read.parquet(path)
+        except Exception:
+            # an empty partitioned write leaves no data files to
+            # infer a schema from — rewrite flat (still empty), but
+            # keep the bucket METADATA (empty partition map) so a
+            # later delta can still chain lineage off this base
+            df.write.mode("overwrite").parquet(path)
+            back = spark.read.parquet(path)
+            if spec:
+                return back.count(), {}
+            spec = None
+        if spec:
+            pc = {int(r[BUCKET_COL]): r["count"]
+                  for r in back.groupBy(BUCKET_COL).count().collect()}
+            return sum(pc.values()), {str(k): pc[k] for k in sorted(pc)}
+        return back.count(), None
+
     def commit(self, spark, rnd: int, tables: dict, metrics: dict,
                seq_counter: int, partition_by: dict | None = None,
                bucket_by: dict | None = None,
-               steps: list | None = None) -> dict:
+               steps: list | None = None,
+               deltas: dict | None = None,
+               prev_manifest: dict | None = None) -> dict:
         """Write ``tables`` (name → DataFrame) + manifest for round ``rnd``.
 
         ``bucket_by`` maps table name → (key_column, n_buckets): the
@@ -51,65 +96,67 @@ class SnapshotStore:
         mega-domains). Per-bucket row counts land in the manifest as
         per-partition lineage.
 
+        ``deltas`` maps table name → DataFrame of ONLY the rows added
+        since ``prev_manifest`` (Iceberg append-snapshot semantics):
+        the commit writes just the delta dir and publishes a manifest
+        whose ``paths`` chain is the previous chain plus the new dir —
+        commit I/O scales with the ROUND, not the store. An empty
+        delta carries the previous entry forward untouched (zero I/O).
+        Rewritten rows can never ride a delta — the caller must fall
+        back to a full write (``tables``) for any table whose existing
+        rows changed, and should periodically compact long chains the
+        same way.
+
         The manifest is written last — a crash mid-write leaves a
         dangling round directory that ``latest_round`` ignores, so
         commits are effectively atomic (Iceberg's manifest-pointer
         trick)."""
-        from pyspark.sql import functions as F
-
         rdir = self._round_dir(rnd)
-        counts: dict[str, int] = {}
-        partitions: dict[str, dict] = {}
         partition_by = partition_by or {}
         bucket_by = bucket_by or {}
+        deltas = deltas or {}
+        entries: dict[str, dict] = {}
         for name, df in tables.items():
             path = os.path.join(rdir, name)
-            writer_df = df
-            cols = list(partition_by.get(name) or [])
-            spec = bucket_by.get(name)
-            if spec:
-                key_col, n_buckets = spec
-                writer_df = df.withColumn(
-                    BUCKET_COL,
-                    F.pmod(F.xxhash64(F.col(key_col)),
-                           F.lit(n_buckets)).cast("int"))
-                cols = [BUCKET_COL] + cols
-            writer = writer_df.write.mode("overwrite")
-            if cols:
-                writer = writer.partitionBy(*cols)
-            writer.parquet(path)
-            try:
-                back = spark.read.parquet(path)
-            except Exception:
-                # an empty partitioned write leaves no data files to
-                # infer a schema from — rewrite flat (still empty)
-                df.write.mode("overwrite").parquet(path)
-                back = spark.read.parquet(path)
-                spec = None
-            if spec:
-                pc = {int(r[BUCKET_COL]): r["count"]
-                      for r in back.groupBy(BUCKET_COL).count().collect()}
-                partitions[name] = {str(k): pc[k] for k in sorted(pc)}
-                counts[name] = sum(pc.values())
-            else:
-                counts[name] = back.count()
+            n, parts = self._write_one(
+                spark, df, path, bucket_by.get(name),
+                partition_by.get(name))
+            entries[name] = {
+                "path": path,
+                "rows": n,
+                **({"bucket_key": bucket_by[name][0],
+                    "n_buckets": bucket_by[name][1],
+                    "partitions": parts} if parts is not None else {}),
+            }
+        for name, df in deltas.items():
+            prev = (prev_manifest or {}).get("tables", {}).get(name)
+            assert prev is not None, \
+                f"delta commit for {name} needs a previous manifest"
+            path = os.path.join(rdir, name)
+            n, parts = self._write_one(
+                spark, df, path, bucket_by.get(name),
+                partition_by.get(name))
+            chain = self.table_paths(prev)
+            entry = dict(prev)
+            if n:
+                entry["paths"] = chain + [path]
+                entry.pop("path", None)
+                entry["rows"] = prev["rows"] + n
+                if parts is not None and "partitions" in prev:
+                    merged = dict(prev["partitions"])
+                    for k, v in parts.items():
+                        merged[k] = merged.get(k, 0) + v
+                    entry["partitions"] = merged
+            # n == 0: carry the previous entry forward (the empty dir
+            # stays unreferenced, like any dangling crash debris)
+            entries[name] = entry
         manifest = {
             "round": rnd,
             "seq_counter": seq_counter,
             #: per-step config log — the cross-run validator's
             #: precondition surface (scripts/compare_runs.py)
             "steps": list(steps or []),
-            "tables": {
-                name: {
-                    "path": os.path.join(rdir, name),
-                    "rows": counts[name],
-                    **({"bucket_key": bucket_by[name][0],
-                        "n_buckets": bucket_by[name][1],
-                        "partitions": partitions[name]}
-                       if name in partitions else {}),
-                }
-                for name in tables
-            },
+            "tables": entries,
             "metrics": metrics,
             "committed_at": time.time(),
         }
@@ -139,8 +186,14 @@ class SnapshotStore:
         manifest = self.read_manifest(rnd)
         out = {}
         for name, info in manifest["tables"].items():
-            df = spark.read.parquet(info["path"])
-            if BUCKET_COL in df.columns:
-                df = df.drop(BUCKET_COL)
+            dfs = []
+            for p in self.table_paths(info):
+                df = spark.read.parquet(p)
+                if BUCKET_COL in df.columns:
+                    df = df.drop(BUCKET_COL)
+                dfs.append(df)
+            df = dfs[0]
+            for extra in dfs[1:]:
+                df = df.unionByName(extra)
             out[name] = df
         return out

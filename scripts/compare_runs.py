@@ -80,12 +80,19 @@ def cmp_counts(m1: dict, m2: dict) -> dict:
     return out
 
 
-def _triples_glob(manifest: dict) -> str:
-    path = manifest["tables"]["triples"]["path"]
-    # bucketed writes nest parquet under _bucket=N/ partitions
-    if glob.glob(os.path.join(path, "*.parquet")):
-        return os.path.join(path, "*.parquet")
-    return os.path.join(path, "**", "*.parquet")
+def _triples_globs(manifest: dict) -> list:
+    info = manifest["tables"]["triples"]
+    # delta (append-snapshot) manifests carry a paths chain; full
+    # manifests a single path
+    paths = info.get("paths") or [info["path"]]
+    out = []
+    for path in paths:
+        # bucketed writes nest parquet under _bucket=N/ partitions
+        if glob.glob(os.path.join(path, "*.parquet")):
+            out.append(os.path.join(path, "*.parquet"))
+        else:
+            out.append(os.path.join(path, "**", "*.parquet"))
+    return out
 
 
 def diff_triples(m1: dict, m2: dict, max_samples: int) -> dict:
@@ -99,9 +106,13 @@ def diff_triples(m1: dict, m2: dict, max_samples: int) -> dict:
     # NULL — normalize so both runs (and the oracle) agree on the key
     sel = ", ".join(f"COALESCE({c}, '') AS {c}" for c in TRIPLE_KEY)
     for name, m in (("t1", m1), ("t2", m2)):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT {sel} FROM "
-            f"read_parquet('{_triples_glob(m)}', hive_partitioning=true)")
+        # one SELECT per chain dir (a dir is uniformly flat or
+        # hive-partitioned, but the chain can mix the two — e.g. a
+        # flat empty base under bucketed deltas)
+        selects = " UNION ALL ".join(
+            f"SELECT {sel} FROM read_parquet('{g}', "
+            f"hive_partitioning=true)" for g in _triples_globs(m))
+        con.execute(f"CREATE VIEW {name} AS {selects}")
     only = {}
     for label, a, b in (("only_in_run1", "t1", "t2"),
                         ("only_in_run2", "t2", "t1")):

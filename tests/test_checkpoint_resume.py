@@ -85,10 +85,14 @@ def test_snapshot_bucket_partitioning(spark, tmp_path):
         info = man["tables"][t]
         assert info["n_buckets"] == 16
         assert sum(info["partitions"].values()) == info["rows"]
-        # physical layout: one directory per bucket value
-        subdirs = [d for d in os.listdir(info["path"])
-                   if d.startswith("_bucket=")]
-        assert len(subdirs) == len(info["partitions"])
+        # physical layout: the bucket values across the path chain
+        # (a delta-committed table is base + appended delta dirs)
+        # cover exactly the manifest's per-bucket lineage keys
+        buckets = set()
+        for path in SnapshotStore.table_paths(info):
+            buckets |= {d.split("=", 1)[1] for d in os.listdir(path)
+                        if d.startswith("_bucket=")}
+        assert buckets == set(info["partitions"])
     # loading drops the synthetic bucket column
     tables = store.load_tables(spark, store.latest_round())
     assert "_bucket" not in tables["resources"].columns
