@@ -108,9 +108,19 @@ def build(cores: int, shuffle_partitions: int, split_mb: int | None = None):
     return spark
 
 
-def run_crawl(spark, repeat: int | None = None) -> dict:
+def run_crawl(spark, repeat: int | None = None,
+              with_store: bool = False) -> dict:
     """Crawl-loop throughput, min-of-N (the VM is ±20% noisy; a single
-    run can't distinguish a regression from noise round-over-round)."""
+    run can't distinguish a regression from noise round-over-round).
+
+    ``with_store=True`` attaches a snapshot store so every round pays
+    the durable Iceberg-style commit (delta chains for the append-only
+    tables) — the north rule's "checkpoint every round" regime; kept a
+    separate measurement so the headline ``crawl`` number stays
+    comparable across rounds that predate the store-on run."""
+    import shutil
+    import tempfile
+
     from derzis_spark import schemas
     from derzis_spark.config import CrawlConfig
     from derzis_spark.engine import CrawlEngine
@@ -128,10 +138,16 @@ def run_crawl(spark, repeat: int | None = None) -> dict:
     runs: list[float] = []
     best: dict | None = None
     for _ in range(max(1, repeat)):
-        engine = CrawlEngine(spark, pages, robots, cfg)
-        t0 = time.time()
-        engine.run(seeds)
-        dt = time.time() - t0
+        wd = tempfile.mkdtemp(prefix="derzis_bench_snap_") \
+            if with_store else None
+        try:
+            engine = CrawlEngine(spark, pages, robots, cfg, work_dir=wd)
+            t0 = time.time()
+            engine.run(seeds)
+            dt = time.time() - t0
+        finally:
+            if wd:
+                shutil.rmtree(wd, ignore_errors=True)
         # every scheduled URL gets exactly one trace row, so the
         # metrics already carry the count — no trace collect needed
         n_urls = sum(m.get("scheduled", 0) for m in engine.metrics)
@@ -143,6 +159,9 @@ def run_crawl(spark, repeat: int | None = None) -> dict:
                 "urls_per_sec": round(n_urls / dt, 2) if dt > 0 else 0.0,
                 "rounds": engine.round,
             }
+            if with_store:
+                best["snapshot_s_total"] = round(sum(
+                    m.get("snapshot_s", 0.0) for m in engine.metrics), 2)
     return {**best, "runs": runs}
 
 
@@ -353,6 +372,10 @@ def main() -> None:
     queries = run_queries(spark, sf_dir)
     fast = run_fast_variants(spark, sf_dir)
     crawl = run_crawl(spark)
+    # one store-attached run: the same loop paying the per-round
+    # durable snapshot commit (delta chains) — the north rule's
+    # "checkpoint every round to Iceberg snapshots" regime
+    crawl_snapshot = run_crawl(spark, repeat=1, with_store=True)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -367,6 +390,7 @@ def main() -> None:
         "fast_variants": fast,
         "sf": sf,
         "crawl": crawl,
+        "crawl_snapshot": crawl_snapshot,
         "cores": cores,
     }))
 

@@ -229,6 +229,17 @@ class CrawlEngine:
         self._append_rewritten: dict[str, bool] = {
             t: False for t in self.DELTA_TABLES}
         self.snapshot_compact_chain = 16
+        # delta commits only pay off once the table dwarfs the round's
+        # additions: below this many physical rows a full rewrite is a
+        # single cheap parquet write, while a delta chain adds fixed
+        # per-commit costs (extra dirs, read-back counts, chain unions
+        # on every later read). Measured at bench scale (47k triples,
+        # BENCH/snapshot_ab_r4.json): forced-delta snapshots cost
+        # 112 s vs 84 s full-rewrite over 10 rounds — so small tables
+        # take the full path and the chain machinery engages only when
+        # rewrite I/O (O(store)) actually exceeds it. Unchanged tables
+        # still carry forward with zero I/O regardless of size.
+        self.snapshot_delta_min_rows = 1_000_000
 
     @property
     def trace(self) -> DataFrame:
@@ -402,11 +413,18 @@ class CrawlEngine:
         for name in self.DELTA_TABLES:
             pinfo = (prev or {}).get("tables", {}).get(name)
             chain = len(self.store.table_paths(pinfo)) if pinfo else 0
+            parts = self._append_deltas[name]
+            # below snapshot_delta_min_rows a full rewrite is cheaper
+            # than the chain's fixed per-commit costs — but ONLY when
+            # the table actually gained rows: an unchanged table must
+            # still carry forward with zero I/O whatever its size
+            small = ((pinfo or {}).get("rows", 0)
+                     < self.snapshot_delta_min_rows)
             if (pinfo is None or self._append_rewritten[name]
-                    or chain >= self.snapshot_compact_chain):
+                    or chain >= self.snapshot_compact_chain
+                    or (parts and small)):
                 full[name] = compact[name]()
                 continue
-            parts = self._append_deltas[name]
             delta = compact[name]().limit(0)  # empty: carry forward
             for p in parts:
                 delta = delta.unionByName(p)
@@ -2028,6 +2046,30 @@ class CrawlEngine:
         # appended batches wave after wave (dropped at round end)
         ends = self.ends.cache()
         self._wave_caches.append(ends)
+        # mega-waves (parents above wave_broadcast_limit) join by
+        # SHUFFLE — and a plain cache makes every such wave re-shuffle
+        # the store-sized edge view. A cache hash-partitioned on the
+        # join key reports its partitioning through InMemoryRelation,
+        # so EnsureRequirements adds NO exchange on the ends side:
+        # one repartition per round (lazy — broadcast-only rounds
+        # never pay it) replaces one store-sized exchange PER WAVE
+        ends_hashed: list[DataFrame] = []
+
+        def _ends_for(n_parents: int) -> DataFrame:
+            if n_parents <= self.cfg.wave_broadcast_limit:
+                return ends  # broadcast wave: ends never shuffles
+            if not ends_hashed:
+                n_part = int(self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"))
+                eh = ends.repartition(n_part, "end").cache()
+                # materialize NOW: until the cache's adaptive plan is
+                # final, InMemoryRelation reports unknown partitioning
+                # and every consumer join re-adds the ends exchange
+                # (measured: ENSURE_REQUIREMENTS 2 → 1 per wave)
+                eh.count()
+                self._wave_caches.append(eh)
+                ends_hashed.append(eh)
+            return ends_hashed[0]
         bf, n_bf = None, 0
         if self.cfg.follow_direction:
             t = self.triples.withColumn("okey", _object_key_col())
@@ -2064,8 +2106,8 @@ class CrawlEngine:
         while guard < 100:
             guard += 1
             _w0 = _time.time()
-            cand = self._extend_wave(rnd, parents, ends, bf, n_parents,
-                                     n_bf)
+            cand = self._extend_wave(rnd, parents, _ends_for(n_parents),
+                                     bf, n_parents, n_bf)
             cand.cache()
             self._wave_caches.append(cand)
             # the count both materializes the cache and picks the seq

@@ -113,13 +113,15 @@ def test_over_threshold_wave_crawl_exact_match(spark):
 
 def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
     """On the forced-shuffle path the wave candidate plan must carry
-    exactly TWO exchanges (one per join input): the child dedup's
-    grouping keys lead with the join key p_head, so the aggregation's
-    clustering requirement is satisfied by the join's
+    exactly ONE demand-driven (ENSURE_REQUIREMENTS) exchange — the
+    parents side: the edge view is cached hash-partitioned on the join
+    key (one REPARTITION_BY_NUM per round, inside InMemoryRelation, so
+    mega-waves never re-shuffle the store-sized side), and the child
+    dedup's grouping keys lead with the join key p_head, so the
+    aggregation's clustering requirement is satisfied by the join's
     hashpartitioning(p_head) output and the fat child rows
-    (nodes/predicates arrays) never reshuffle. A regression that
-    drops p_head from the grouping keys re-adds a third exchange
-    between the join and the aggregation."""
+    (nodes/predicates arrays) never reshuffle. Regressions re-add an
+    ENSURE_REQUIREMENTS exchange (ends side or between join and agg)."""
     plans = []
     orig = CrawlEngine._extend_wave
 
@@ -148,6 +150,11 @@ def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plans, "no cascade wave ran"
     for p in plans:
-        n_ex = p.count("Exchange hashpartitioning")
         assert "BroadcastHashJoin" not in p
-        assert n_ex == 2, f"expected 2 shuffle exchanges, got {n_ex}:\n{p[:2000]}"
+        n_ens = p.count("ENSURE_REQUIREMENTS")
+        assert n_ens == 1, \
+            f"expected 1 demand-driven exchange (parents), got {n_ens}:" \
+            f"\n{p[:2000]}"
+        # the ends side reads the per-round hash-partitioned cache:
+        # its one repartition prints inside the InMemoryRelation
+        assert p.count("REPARTITION_BY_NUM") >= 1, p[:2000]

@@ -64,6 +64,7 @@ def test_delta_chain_grows_and_readers_stay_exact(spark, tmp_path):
     pages, robots, seeds = fixture_dataframes(spark, fx)
     root = str(tmp_path / "snaps")
     eng = CrawlEngine(spark, pages, robots, CFG, work_dir=root)
+    eng.snapshot_delta_min_rows = 0  # force deltas at fixture scale
     eng.run(seeds)
     assert_match(oracle, eng)
 
@@ -114,6 +115,7 @@ def test_compaction_caps_the_chain(spark, tmp_path):
                                   resources_per_domain=2),
                       work_dir=root)
     eng.snapshot_compact_chain = 2
+    eng.snapshot_delta_min_rows = 0
     eng.run(seeds, max_rounds=10)
     store = SnapshotStore(root)
     last = store.latest_round()
@@ -122,6 +124,36 @@ def test_compaction_caps_the_chain(spark, tmp_path):
     assert max(lens) <= 2
     # at least one compaction actually reset a grown chain
     assert any(a == 2 and b == 1 for a, b in zip(lens, lens[1:])), lens
+
+
+def test_small_tables_take_full_rewrites_under_the_gate(spark, tmp_path):
+    """Deltas only pay off once the table dwarfs the round's additions
+    (measured: forced-delta snapshots cost 112 s vs 84 s full-rewrite
+    at 47k-row bench scale, BENCH/snapshot_ab_r4.json). Under the
+    default ``snapshot_delta_min_rows`` gate a small growing table must
+    keep taking single-dir full rewrites — no chain forms — while the
+    loaded tables stay the exact logical store."""
+    fx = generate_fixture(seed=42, n_pages=80, n_origins=8, n_seeds=4)
+    oracle_cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                             resources_per_domain=2)
+    oracle = run_oracle_on_fixture(fx, oracle_cfg)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    root = str(tmp_path / "snaps")
+    eng = CrawlEngine(spark, pages, robots, oracle_cfg, work_dir=root)
+    assert eng.snapshot_delta_min_rows > 0  # default gate engaged
+    eng.run(seeds)
+    assert_match(oracle, eng)
+    store = SnapshotStore(root)
+    last = store.latest_round()
+    grew = False
+    prev_rows = 0
+    for rnd in range(0, last + 1):
+        info = store.read_manifest(rnd)["tables"]["triples"]
+        assert len(_chain(info)) == 1, (rnd, _chain(info))
+        if info["rows"] > prev_rows and prev_rows > 0:
+            grew = True  # a growing round still rewrote full
+        prev_rows = info["rows"]
+    assert grew, "fixture produced no multi-round triple growth"
 
 
 def test_unchanged_table_carries_forward_without_io(spark, tmp_path):
