@@ -2091,6 +2091,32 @@ class CrawlEngine:
         done_res = self.resources.filter(
             F.col("status") == "done").select(
             F.col("url").alias("head_url"))
+        # the per-wave done probe intersects the wave's head set with
+        # the store-sized done-resource set. Left-semi can only
+        # broadcast its RIGHT side, so the old `url_heads ⋈ done_res`
+        # orientation either broadcast the STORE or shuffled both
+        # sides every wave. Flipped (`done_res ⋉ url_heads` — the same
+        # intersection of two distinct url sets): below the wave gate
+        # the bounded head set broadcasts and the store side never
+        # shuffles; above it, done_res is hash-partitioned + cached
+        # ONCE per round (mirror of _ends_for) so mega-waves reuse the
+        # partitioning instead of re-exchanging the store per wave
+        done_hashed: list[DataFrame] = []
+
+        def _done_probe(url_heads: DataFrame, n_bound: int) -> DataFrame:
+            if n_bound <= self.cfg.wave_broadcast_limit:
+                return done_res.join(F.broadcast(url_heads),
+                                     "head_url", "left_semi")
+            if not done_hashed:
+                n_part = int(self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"))
+                dh = done_res.repartition(n_part, "head_url").cache()
+                # materialize: an unfinalized AQE cache plan reports
+                # unknown partitioning (see _ends_for)
+                dh.count()
+                self._wave_caches.append(dh)
+                done_hashed.append(dh)
+            return done_hashed[0].join(url_heads, "head_url", "left_semi")
         guard = 0
         self._last_extend_profile = []
         import time as _time
@@ -2182,7 +2208,7 @@ class CrawlEngine:
             # ~free) and fed straight back into the semi-join, so a
             # mega-wave's re-extension set scales with executors
             probe = (
-                url_heads.join(done_res, "head_url", "left_semi")
+                _done_probe(url_heads, n)
                 .unionByName(
                     children.filter(F.col("head_kind") == "blank")
                     .select("head_url").distinct())

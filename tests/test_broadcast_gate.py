@@ -111,6 +111,52 @@ def test_over_threshold_wave_crawl_exact_match(spark):
     assert_match(oracle, engine)
 
 
+def test_wave_done_probe_reuses_store_partitioning(spark, monkeypatch):
+    """At wave gate 0 every wave's done probe (heads ∩ done resources)
+    must read the once-per-round hash-partitioned done_res cache
+    instead of re-shuffling the store-sized resources side per wave:
+    the probe plan's semi-join left leg is an InMemoryTableScan whose
+    relation carries the REPARTITION_BY_NUM exchange, and the plan has
+    exactly THREE demand-driven exchanges (url-head distinct,
+    blank-head distinct, top-level distinct). A regression that joins
+    the raw resources view re-adds a fourth ENSURE_REQUIREMENTS
+    exchange on the done side."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    plans = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        # in a traversal-mode crawl the wave done probe is the only
+        # single-column head_url frame that gets checkpointed
+        if self.columns == ["head_url"]:
+            plans.append(
+                self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=6,
+                      wave_broadcast_limit=0)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        engine.run(seeds, max_rounds=6)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plans, "no wave done probe ran"
+    for p in plans:
+        # done side reads the hash-partitioned cache, not a re-shuffle
+        assert "InMemoryTableScan" in p, p[:2000]
+        assert p.count("REPARTITION_BY_NUM") >= 1, p[:2000]
+        n_ens = p.count("ENSURE_REQUIREMENTS")
+        assert n_ens == 3, \
+            f"expected 3 demand-driven exchanges, got {n_ens}:\n{p[:2000]}"
+
+
 def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
     """On the forced-shuffle path the wave candidate plan must carry
     exactly ONE demand-driven (ENSURE_REQUIREMENTS) exchange — the
