@@ -72,6 +72,10 @@ def build_session(app: str = "derzis-spark", cores: str | int = "*",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # snapshot count-backs (per-bucket lineage counts) resolve from
+        # parquet footer metadata instead of scanning data pages;
+        # unsupported shapes silently fall back to a normal scan
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
