@@ -902,6 +902,12 @@ class CrawlEngine:
             self._robots_allows(
                 F.coalesce(F.col("robots_txt"), F.lit("")),
                 F.col("head_url")))
+        # mega-domain skew spy surface: the per-domain top-k must plan
+        # as WindowGroupLimit Partial+Final (map-side top-k per origin
+        # BEFORE the shuffle), or a 10^8-URL domain funnels its whole
+        # eligible set through the one reducer that owns its hash
+        # (tests/test_broadcast_gate.py pins this on the round plan)
+        self._last_schedule_df = gate
         rows = gate.select("head_url", "origin", "pr", "allowed").collect()
         rows.sort(key=lambda r: (tuple(r["pr"]), r["head_url"]))
         if self.cfg.round_domain_limit is not None:
@@ -2271,6 +2277,10 @@ class CrawlEngine:
     #: two-phase range rank runs instead (overridable per engine, e.g.
     #: set to 0 in tests to force the scale path)
     seq_rank_threshold: int = 50_000
+
+    #: last round's schedule gate DataFrame (plan-spy surface for the
+    #: mega-domain WindowGroupLimit check; not used by the engine)
+    _last_schedule_df = None
 
     def _assign_wave_seq(self, cand: DataFrame, key_cols: list[str],
                          n: int) -> DataFrame:

@@ -204,3 +204,32 @@ def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
         # the ends side reads the per-round hash-partitioned cache:
         # its one repartition prints inside the InMemoryRelation
         assert p.count("REPARTITION_BY_NUM") >= 1, p[:2000]
+
+
+def test_schedule_topk_plans_as_window_group_limit(spark):
+    """Mega-domain skew guard: the per-domain budget
+    (row_number ≤ resources_per_domain over hash(origin) partitions,
+    engine `_phase_schedule`) must plan as WindowGroupLimit
+    Partial+Final — the Partial keeps at most k rows PER ORIGIN PER
+    MAP PARTITION before the shuffle, so a 10^8-URL mega-domain sends
+    O(k × map tasks) rows to the one reducer that owns its hash
+    instead of its whole eligible set. Regressions that disable the
+    pushdown (a second window function over the same spec, a
+    non-row_number rank, a filter moved off the rank column) would
+    silently reintroduce single-task domain skew; this pins the
+    executed round plan, not a synthetic one."""
+    fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
+    cfg = CrawlConfig(max_path_length=3, max_path_props=2,
+                      resources_per_domain=2, max_rounds=3)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+    engine.run(seeds, max_rounds=3)
+    gate = engine._last_schedule_df
+    assert gate is not None, "no schedule ran"
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan and "Final" in plan, plan[:2000]
+    # both phases must belong to the group-limit, not another operator
+    wgl = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in wgl), plan[:2000]
+    assert any("Final" in l for l in wgl), plan[:2000]
