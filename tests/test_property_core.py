@@ -106,3 +106,50 @@ def test_canonicalize_with_origin_matches_pair(u):
         assert co is None
     else:
         assert co == (cu, core.url_origin(u))
+
+
+# ---------------------------------------------------------------------------
+# vectorized robots matcher ≡ scalar matcher (differential)
+# ---------------------------------------------------------------------------
+
+_robots_line = st.one_of(
+    st.builds(lambda a: f"User-agent: {a}",
+              st.sampled_from(["*", "derzis-spark", "derzis", "bot"])),
+    st.builds(lambda p: f"Disallow: /{p}",
+              st.text(alphabet=string.ascii_lowercase + "/*$.", max_size=10)),
+    st.builds(lambda p: f"Allow: /{p}",
+              st.text(alphabet=string.ascii_lowercase + "/*$.", max_size=10)),
+    st.builds(lambda d: f"Crawl-delay: {d}", st.integers(0, 9)),
+    _text,  # garbage lines must not desync the two matchers either
+)
+_robots_doc = st.one_of(
+    st.none(),
+    st.lists(_robots_line, max_size=10).map("\n".join))
+_robots_url = st.builds(
+    lambda p, q: f"http://example.org/{p}" + (f"?{q}" if q else ""),
+    st.text(alphabet=string.ascii_lowercase + "/.%~*$&+,;=:@", max_size=25),
+    st.text(alphabet=string.ascii_lowercase + "=&", max_size=10))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_robots_doc, _robots_url),
+                min_size=1, max_size=25))
+def test_vectorized_robots_matches_scalar(pairs):
+    """The schedule's fused robots gate (functions/udfs.py
+    make_robots_allows) parses each DISTINCT robots.txt once per Arrow
+    batch via pandas factorize and decides per group. That plumbing
+    (None→sentinel group, NaN coercion, index alignment across masks)
+    must be invisible: for any batch of (robots_txt, url) pairs the
+    vectorized answer equals the scalar core.robots_allows per row —
+    including duplicate texts, None, empty docs, and garbage lines."""
+    import pandas as pd
+
+    from derzis_spark.functions import udfs
+
+    agent = "derzis-spark"
+    txts = pd.Series([t for t, _ in pairs], dtype=object)
+    urls = pd.Series([u for _, u in pairs], dtype=object)
+    vec = udfs.make_robots_allows(agent).func(txts, urls)
+    for i, (t, u) in enumerate(pairs):
+        assert bool(vec.iloc[i]) == core.robots_allows(t, u, agent), (
+            f"row {i}: txt={t!r} url={u!r}")
