@@ -145,14 +145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": P.q_minhash_signatures,
         "minhash_lsh_buckets": P.q_minhash_lsh_buckets,
         "simhash": P.q_simhash,
-        "jaccard_near_dup": P.q_jaccard_near_dup,
+        # both blocking schemes (capped_buckets + rep_edges) in one
+        # row — the crawl_trace merge pattern for the 50-entry cap
+        "jaccard_near_dup": P.q_jaccard_near_dup_all,
         "minhash64_signatures": P.q_minhash64_signatures,
-        "jaccard_lsh_pairs": P.q_jaccard_lsh_pairs,
+        "simhash_near_dup": P.q_simhash_near_dup,
+        "dedup_clusters": P.q_dedup_clusters,
         # training-data pipeline: similarity
-        "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
+        # both strategies (bruteforce + ivf) in one tagged row
+        "ann_topk": P.q_ann_topk,
         "ann_lsh_buckets": P.q_ann_lsh_buckets,
         "embedding_centroids": P.q_embedding_centroids,
-        "ann_ivf": P.q_ann_ivf,
         "embedding_near_dup": P.q_embedding_near_dup,
         # training-data pipeline: text analysis
         "token_count": P.q_token_count,
@@ -207,13 +210,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": P.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_buckets": P.SQL_MINHASH_LSH_BUCKETS,
         "simhash": P.SQL_SIMHASH,
-        "jaccard_near_dup": P.SQL_JACCARD_NEAR_DUP,
+        "jaccard_near_dup": P.SQL_JACCARD_NEAR_DUP_ALL,
         "minhash64_signatures": P.SQL_MINHASH64_SIGNATURES,
-        "jaccard_lsh_pairs": P.SQL_JACCARD_LSH_PAIRS,
-        "ann_bruteforce_cosine": P.SQL_ANN_BRUTEFORCE,
+        "simhash_near_dup": P.SQL_SIMHASH_NEAR_DUP,
+        "dedup_clusters": P.SQL_DEDUP_CLUSTERS,
+        "ann_topk": P.SQL_ANN_TOPK,
         "ann_lsh_buckets": P.SQL_ANN_LSH_BUCKETS,
         "embedding_centroids": P.SQL_EMBEDDING_CENTROIDS,
-        "ann_ivf": P.SQL_ANN_IVF,
         "embedding_near_dup": P.SQL_EMBEDDING_NEAR_DUP,
         "token_count": P.SQL_TOKEN_COUNT,
         "quality_score": P.SQL_QUALITY_SCORE,

@@ -217,7 +217,16 @@ def run_queries(spark, sf_dir: str) -> dict:
             break
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # the driver's 50-entry cap merged these into tagged-union entries
+    # (jaccard_near_dup, ann_topk); the headline suite keeps timing the
+    # raw variants so per-query numbers stay comparable across rounds
+    from derzis_spark import pipeline_queries as P
+    qs.update({
+        "jaccard_lsh_pairs": P.q_jaccard_lsh_pairs,
+        "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
+        "ann_ivf": P.q_ann_ivf,
+    })
     out = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -238,6 +247,21 @@ def run_fast_variants(spark, sf_dir: str) -> dict:
     t0 = time.time()
     q_minhash64_signatures_fast(spark, sf_dir).count()
     return {"minhash64_signatures_fast": round(time.time() - t0, 3)}
+
+
+def run_new_ops(spark, sf_dir: str) -> dict:
+    """Round-4 additions (simhash_near_dup, dedup_clusters), timed in
+    their own section and kept OUT of the headline total so
+    round-over-round suite totals stay comparable."""
+    from derzis_spark import pipeline_queries as P
+
+    out = {}
+    for name, fn in (("simhash_near_dup", P.q_simhash_near_dup),
+                     ("dedup_clusters", P.q_dedup_clusters)):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
 
 
 def run_ab(ref_commit: str, pairs: int) -> None:
@@ -371,6 +395,7 @@ def main() -> None:
 
     queries = run_queries(spark, sf_dir)
     fast = run_fast_variants(spark, sf_dir)
+    new_ops = run_new_ops(spark, sf_dir)
     crawl = run_crawl(spark)
     # one store-attached run: the same loop paying the per-round
     # durable snapshot commit (delta chains) — the north rule's
@@ -388,6 +413,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "fast_variants": fast,
+        "new_ops": new_ops,
         "sf": sf,
         "crawl": crawl,
         "crawl_snapshot": crawl_snapshot,

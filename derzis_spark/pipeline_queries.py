@@ -1043,3 +1043,265 @@ SQL_MULTIMODAL_METADATA = """
          CAST((ord(substr(text, 1, 1)) * 3) % 480 AS BIGINT) AS fake_height
   FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs + global dedup-cluster resolution (round 4)
+# ---------------------------------------------------------------------------
+
+#: 16-bit SimHash fingerprints band into 4 tables of 4 bits each; by
+#: pigeonhole, any pair within Hamming distance SIMHASH_HAMMING_MAX (3)
+#: differs in at most 3 bands and therefore agrees exactly on at least
+#: one — banding has 100% recall at the threshold inside capped buckets
+SIMHASH_BANDS = 4
+SIMHASH_BITS_PER_BAND = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-duplicate pairs: Hamming-distance dedup completed
+    end-to-end (``q_simhash`` only emits fingerprints). Candidates are
+    blocked by banding the 16-bit fingerprint into 4 tables of 4 bits —
+    the classic multi-table SimHash index: pairs within Hamming <= 3
+    share at least one full band, so a bucket-equijoin per band finds
+    every qualifying pair without an all-pairs scan. Buckets follow the
+    ``q_jaccard_near_dup`` occupancy discipline: all-pairs only up to
+    ``JACCARD_BUCKET_CAP`` members, representative member->bucket-min
+    keeper edges above (a bucket that large is one dup cluster), so the
+    candidate volume is O(n x bands) on any corpus. Survivors verify
+    with an exact JVM popcount: ``bit_count(fp_a XOR fp_b) <= 3`` —
+    whole-stage codegen, no UDF anywhere.
+
+    At 100 TB: fingerprints are one hash-agg over tokens; each band
+    table is one shuffle on (band_id, band_value); the verify join
+    moves only (doc_id, fingerprint) pairs. Nothing scales worse than
+    the corpus itself."""
+    fp = q_simhash(spark, sf_dir)
+    mask = (1 << SIMHASH_BITS_PER_BAND) - 1
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), SIMHASH_BITS_PER_BAND * b)
+            .bitwiseAND(F.lit(mask))
+            for b in range(SIMHASH_BANDS)])).alias("band_id", "band_value"))
+    cap = JACCARD_BUCKET_CAP
+    binfo = bands.groupBy("band_id", "band_value").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("bmin"))
+    bx = bands.join(binfo, ["band_id", "band_value"])
+    small = bx.filter(F.col("bsz") <= cap)
+    pairs_small = (
+        small.select("band_id", "band_value", F.col("doc_id").alias("a"))
+        .join(small.select("band_id", "band_value",
+                           F.col("doc_id").alias("b")),
+              ["band_id", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs_large = (
+        bx.filter((F.col("bsz") > cap) & (F.col("doc_id") > F.col("bmin")))
+        .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairs_small.unionByName(pairs_large).distinct()
+    fa = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"))
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                    .cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("a", "b", "hamming")
+    )
+
+SQL_SIMHASH_NEAR_DUP = f"""
+  WITH fp AS ({SQL_SIMHASH}),
+  bands AS (
+    SELECT doc_id,
+           (simhash >> ({SIMHASH_BITS_PER_BAND} * CAST(t.k AS INT)))
+             & {(1 << SIMHASH_BITS_PER_BAND) - 1} AS band_value,
+           CAST(t.k AS INT) AS band_id
+    FROM fp, UNNEST(range(0, {SIMHASH_BANDS})) AS t(k)
+  ),
+  binfo AS (
+    SELECT band_id, band_value, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+    FROM bands GROUP BY band_id, band_value
+  ),
+  bx AS (
+    SELECT b.doc_id, b.band_id, b.band_value, i.bsz, i.bmin
+    FROM bands b JOIN binfo i
+      ON b.band_id = i.band_id AND b.band_value = i.band_value
+  ),
+  cand AS (
+    SELECT DISTINCT a, b FROM (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM bx x JOIN bx y
+        ON x.band_id = y.band_id AND x.band_value = y.band_value
+      WHERE x.bsz <= {JACCARD_BUCKET_CAP} AND x.doc_id < y.doc_id
+      UNION ALL
+      SELECT bmin AS a, doc_id AS b
+      FROM bx WHERE bsz > {JACCARD_BUCKET_CAP} AND doc_id > bmin
+    )
+  )
+  SELECT c.a, c.b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+  FROM cand c
+  JOIN fp x ON x.doc_id = c.a
+  JOIN fp y ON y.doc_id = c.b
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+#: hard ceiling on min-label propagation rounds; the LSH rep-edge
+#: graph is a union of band-min stars whose diameter is the band
+#: overlap chain length (single digits measured), so hitting this
+#: means the input is not the expected near-dup graph
+DEDUP_CC_MAX_ITERS = 64
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Distributed connected components over an ``(a, b)`` edge
+    DataFrame → ``(doc_id, lbl)`` with ``lbl`` = min doc_id in the
+    component. Iterative min-label propagation with POINTER JUMPING:
+    each round takes (1) the min over each node's own and neighbors'
+    labels (one shuffle on doc_id, map-side combinable min-agg), then
+    (2) ``label <- label(label)`` (one self-join on the label), which
+    halves the label-tree depth — so convergence is O(log n) rounds on
+    ANY graph shape, including chain-shaped dup clusters where plain
+    propagation needs O(diameter) rounds. Labels only ever decrease
+    and are bounded below by the component min, so the monotone
+    label-sum fixpoint detects convergence with one scalar per round
+    on the driver — never the labels themselves. Each round
+    ``localCheckpoint``s so the plan does not grow with iterations
+    (the crawl cascade's pattern)."""
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # computed once, re-read every round
+    lab = (sym.select(F.col("a").alias("doc_id")).distinct()
+           .withColumn("lbl", F.col("doc_id"))
+           .localCheckpoint(eager=True))
+    prev_sum = lab.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(DEDUP_CC_MAX_ITERS):
+        nbr_min = (
+            sym.join(lab.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl")))
+        stepped = (
+            lab.join(nbr_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("lbl"),
+                            F.coalesce(F.col("nbr_lbl"), F.col("lbl")))
+                    .alias("lbl")))
+        # pointer jump: every label value IS a node's doc_id, so
+        # label(label) is a lookup into the same labeling
+        parent = stepped.select(F.col("doc_id").alias("p_id"),
+                                F.col("lbl").alias("p_lbl"))
+        lab = (
+            stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
+            .select("doc_id",
+                    F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True))
+        s = lab.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            return lab
+        prev_sum = s
+    raise RuntimeError(
+        f"connected_components did not converge in {DEDUP_CC_MAX_ITERS} "
+        "pointer-jumping rounds — needs > 2^64 label-tree depth, which "
+        "no finite input produces; indicates nondeterministic input")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Global dedup-cluster resolution: connected components over the
+    verified MinHash-LSH near-dup edges (``q_jaccard_lsh_pairs``),
+    giving every near-dup doc its canonical keeper (min doc_id in its
+    component) and the component size — the step that turns pairwise
+    near-dup evidence into the keep/drop decision a 100 TB dedup
+    actually executes (pairs alone under-delete: a~b and b~c must
+    collapse to ONE keeper even when a~c was never emitted).
+
+    Implemented on ``connected_components`` (min-label propagation
+    with pointer jumping — O(log n) rounds on any graph shape, one
+    label shuffle + one label self-join per round; see its
+    docstring)."""
+    edges = q_jaccard_lsh_pairs(spark, sf_dir).select("a", "b")
+    lab = connected_components(edges)
+    sizes = lab.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        lab.join(sizes, "lbl")
+        .select("doc_id", F.col("lbl").alias("keeper_doc_id"),
+                "cluster_size")
+    )
+
+SQL_DEDUP_CLUSTERS = f"""
+  WITH RECURSIVE pairs AS (
+    SELECT a, b FROM ({SQL_JACCARD_LSH_PAIRS})
+  ),
+  sym AS (
+    SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+  ),
+  reach(node, r) AS (
+    SELECT DISTINCT a, a FROM sym
+    UNION
+    SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+  ),
+  lab AS (
+    SELECT node AS doc_id, MIN(r) AS keeper_doc_id
+    FROM reach GROUP BY node
+  )
+  SELECT doc_id, keeper_doc_id,
+         COUNT(*) OVER (PARTITION BY keeper_doc_id) AS cluster_size
+  FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
+# merged driver entries (the 50-entry driver cap, tests/test_entry_contract)
+# ---------------------------------------------------------------------------
+
+def q_jaccard_near_dup_all(spark, sf_dir):
+    """Both Jaccard near-dup blocking schemes in ONE driver row (the
+    ``crawl_trace`` merge pattern: the driver records at most 50
+    correctness entries, so same-schema variants union under a tag
+    column instead of spending two slots): ``capped_buckets`` =
+    ``q_jaccard_near_dup`` (all intra-bucket pairs up to the cap),
+    ``rep_edges`` = ``q_jaccard_lsh_pairs`` (representative edges
+    only). Each variant's full row set still hash-verifies — the union
+    is exactly the two results side by side."""
+    nd = q_jaccard_near_dup(spark, sf_dir) \
+        .withColumn("blocking", F.lit("capped_buckets"))
+    lsh = q_jaccard_lsh_pairs(spark, sf_dir) \
+        .withColumn("blocking", F.lit("rep_edges"))
+    return nd.unionByName(lsh)
+
+SQL_JACCARD_NEAR_DUP_ALL = f"""
+  SELECT a, b, n_common, jaccard, 'capped_buckets' AS blocking
+  FROM ({SQL_JACCARD_NEAR_DUP})
+  UNION ALL
+  SELECT a, b, n_common, jaccard, 'rep_edges' AS blocking
+  FROM ({SQL_JACCARD_LSH_PAIRS})
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Both ANN strategies' top-10 in ONE driver row (same 50-entry
+    rationale as ``q_jaccard_near_dup_all``): ``bruteforce`` = exact
+    cosine scan (``q_ann_bruteforce_cosine``, cell is NULL),
+    ``ivf`` = inverted-file probe (``q_ann_ivf``). The two rankings
+    hash-verify independently under the ``method`` tag. Brute force
+    has no cell: -1 sentinel (NULLs don't sort in the value-hash
+    comparators)."""
+    bf = (q_ann_bruteforce_cosine(spark, sf_dir)
+          .withColumn("cell", F.lit(-1).cast("int"))
+          .withColumn("method", F.lit("bruteforce")))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    cols = ["method", "rank", "vec_id", "label", "cell", "cosine"]
+    return bf.select(*cols).unionByName(ivf.select(*cols))
+
+SQL_ANN_TOPK = f"""
+  SELECT 'bruteforce' AS method, rank, vec_id, label,
+         CAST(-1 AS INTEGER) AS cell, cosine
+  FROM ({SQL_ANN_BRUTEFORCE})
+  UNION ALL
+  SELECT 'ivf' AS method, rank, vec_id, label, cell, cosine
+  FROM ({SQL_ANN_IVF})
+"""

@@ -106,3 +106,118 @@ def test_ann_ivf_matches_oracle_at_two_sizes(spark, tmp_path, n):
     k = max(2, math.ceil(math.sqrt(n)))
     cells = {r["cell"] for r in sdf.collect()}
     assert all(0 <= c < k for c in cells)
+
+
+# --- round-4 additions: simhash_near_dup + dedup_clusters -----------------
+
+def _doc_rows(n, dup=0, seed=11):
+    """n documents; the first ``dup`` rows share one text (one dup
+    cluster with identical SimHash fingerprints in every band)."""
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(500)]
+    base = " ".join(rng.choice(vocab) for _ in range(40))
+    rows = []
+    for i in range(n):
+        text = base if i < dup else " ".join(
+            rng.choice(vocab) for _ in range(40))
+        rows.append((i, text, "en", f"s{i % 5}", len(text)))
+    return rows
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def _duckdb_docs_rows(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'")
+    cur = con.execute(sql)
+    return [c[0] for c in cur.description], cur.fetchall()
+
+
+def test_simhash_near_dup_dup_heavy_stays_linear(spark, tmp_path):
+    """A 300-doc identical-text cluster lands in ONE bucket in every
+    band (bsz > JACCARD_BUCKET_CAP) — the cap must collapse it to
+    keeper edges so candidates stay O(n·bands), never ~45k all-pairs."""
+    n, dup = 400, 300
+    assert dup > P.JACCARD_BUCKET_CAP
+    sf_dir = _write_docs(spark, tmp_path, _doc_rows(n, dup=dup))
+    out = P.q_simhash_near_dup(spark, sf_dir)
+    rows = [tuple(r) for r in out.collect()]
+    # keeper edges for the whole cluster, at Hamming 0
+    cluster = [(a, b, h) for (a, b, h) in rows if a < dup and b < dup]
+    assert len(cluster) == dup - 1
+    assert all(a == 0 and h == 0 for (a, b, h) in cluster)
+    # total candidate volume bounded linearly, nowhere near C(300,2)
+    assert len(rows) <= 4 * n, len(rows)
+
+
+def test_simhash_near_dup_dup_heavy_matches_oracle(spark, tmp_path):
+    sf_dir = _write_docs(spark, tmp_path, _doc_rows(200, dup=100))
+    sdf = P.q_simhash_near_dup(spark, sf_dir)
+    s_cols = sdf.columns
+    d_cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_SIMHASH_NEAR_DUP)
+    assert sorted(s_cols) == sorted(d_cols)
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    s_norm = sorted(tuple(r[s_cols[i]] for i in order)
+                    for r in sdf.collect())
+    dmap = {c: i for i, c in enumerate(d_cols)}
+    d_norm = sorted(tuple(r[dmap[s_cols[i]]] for i in order)
+                    for r in d_rows)
+    assert s_norm == d_norm
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress everything to the component min
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """The distributed pointer-jumping labeling equals an independent
+    in-memory union-find over the same verified edge list."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = [(r["a"], r["b"]) for r in
+             P.q_jaccard_lsh_pairs(spark, sf_dir).select("a", "b")
+             .collect()]
+    assert edges, "fixture produced no near-dup edges"
+    expect = _union_find(edges)
+    got = {r["doc_id"]: r["keeper_doc_id"]
+           for r in P.q_dedup_clusters(spark, sf_dir).collect()}
+    assert got == expect
+    sizes = {r["keeper_doc_id"]: r["cluster_size"]
+             for r in P.q_dedup_clusters(spark, sf_dir).collect()}
+    from collections import Counter
+    assert sizes == Counter(expect.values())
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 300-node path graph has diameter 299: plain min-propagation
+    would blow the 64-round cap, pointer jumping must converge in
+    O(log n). Also pins correctness on the worst shape for label
+    propagation (one long chain, min at one end)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "a long, b long")
+    lab = P.connected_components(edges)
+    rows = {r["doc_id"]: r["lbl"] for r in lab.collect()}
+    assert rows == {i: 0 for i in range(300)}
