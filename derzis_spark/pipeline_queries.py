@@ -1157,6 +1157,11 @@ SQL_SIMHASH_NEAR_DUP = f"""
 #: means the input is not the expected near-dup graph
 DEDUP_CC_MAX_ITERS = 64
 
+#: rounds the last connected_components call took to converge —
+#: profiling surface for the O(log n) claim (tests pin the chain
+#: fixture's bound; bench evidence records the fixture corpora)
+LAST_CC_ROUNDS = 0
+
 
 def connected_components(edges: DataFrame) -> DataFrame:
     """Distributed connected components over an ``(a, b)`` edge
@@ -1180,7 +1185,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
            .withColumn("lbl", F.col("doc_id"))
            .localCheckpoint(eager=True))
     prev_sum = lab.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(DEDUP_CC_MAX_ITERS):
+    global LAST_CC_ROUNDS
+    for rounds in range(1, DEDUP_CC_MAX_ITERS + 1):
         nbr_min = (
             sym.join(lab.withColumnRenamed("doc_id", "a"), "a")
             .groupBy(F.col("b").alias("doc_id"))
@@ -1202,6 +1208,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
         s = lab.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:
+            LAST_CC_ROUNDS = rounds
             return lab
         prev_sum = s
     raise RuntimeError(

@@ -221,3 +221,6 @@ def test_connected_components_chain_converges_logarithmically(spark):
     lab = P.connected_components(edges)
     rows = {r["doc_id"]: r["lbl"] for r in lab.collect()}
     assert rows == {i: 0 for i in range(300)}
+    # diameter 299 → plain propagation needs 299 rounds; pointer
+    # jumping must land near log2(300) ≈ 8
+    assert P.LAST_CC_ROUNDS <= 16, P.LAST_CC_ROUNDS
