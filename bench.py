@@ -242,11 +242,17 @@ def run_fast_variants(spark, sf_dir: str) -> dict:
     (xxhash64 has no DuckDB equivalent), benched here instead and kept
     OUT of the headline total so round-over-round totals stay
     comparable."""
-    from derzis_spark.pipeline_queries import q_minhash64_signatures_fast
+    from derzis_spark.pipeline_queries import (
+        q_minhash64_signatures_fast, q_simhash64_near_dup_fast)
 
-    t0 = time.time()
-    q_minhash64_signatures_fast(spark, sf_dir).count()
-    return {"minhash64_signatures_fast": round(time.time() - t0, 3)}
+    out = {}
+    for name, fn in (
+            ("minhash64_signatures_fast", q_minhash64_signatures_fast),
+            ("simhash64_near_dup_fast", q_simhash64_near_dup_fast)):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
 
 
 def run_new_ops(spark, sf_dir: str) -> dict:

@@ -1314,3 +1314,78 @@ SQL_ANN_TOPK = f"""
   SELECT 'ivf' AS method, rank, vec_id, label, cell, cosine
   FROM ({SQL_ANN_IVF})
 """
+
+
+#: production-width SimHash parameters (the bench-only fast variant):
+#: 64-bit fingerprints, 8 bands x 8 bits, same Hamming <= 3 pigeonhole
+#: recall guarantee (3 differing bits touch at most 3 of 8 bands)
+SIMHASH64_BANDS = 8
+SIMHASH64_BITS_PER_BAND = 8
+
+
+def q_simhash64_near_dup_fast(spark, sf_dir):
+    """Production fast path for ``q_simhash_near_dup``: 64-bit
+    fingerprints whose bit-k vote is bit k of ``xxhash64(token)``
+    (one 64-bit JVM hash per token, no md5 + hex-digit parse), banded
+    into 8 tables of 8 bits with the same ``JACCARD_BUCKET_CAP`` +
+    keeper-edge occupancy discipline and the same
+    ``bit_count(fp_a XOR fp_b) <= 3`` popcount verify. The 64 bit
+    votes are 64 conditional sums in ONE map-side-combinable hash-agg
+    pass (the ``q_minhash64_signatures`` shape). xxhash64 has no
+    DuckDB equivalent, so this variant is benched and cross-checked
+    against a pure-Python fold of the same JVM base hashes
+    (``tests/test_fast_variants.py``) rather than oracle-checked; the
+    16-bit md5 variant stays the cross-engine parity surface. At
+    100 TB this is the one to run: 64-bit fingerprints make Hamming
+    <= 3 a strong near-dup signal instead of the toy 16-bit width."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("w")) \
+        .select("doc_id", F.xxhash64(F.col("w")).alias("h"))
+    votes = tokens.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{k}")
+        for k in range(64)])
+    fp = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), k)) \
+            .otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    fps = votes.select("doc_id", fp.alias("simhash64"))
+    mask = (1 << SIMHASH64_BITS_PER_BAND) - 1
+    bands = fps.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash64"), SIMHASH64_BITS_PER_BAND * b)
+            .bitwiseAND(F.lit(mask))
+            for b in range(SIMHASH64_BANDS)])).alias("band_id", "band_value"))
+    cap = JACCARD_BUCKET_CAP
+    binfo = bands.groupBy("band_id", "band_value").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("bmin"))
+    bx = bands.join(binfo, ["band_id", "band_value"])
+    small = bx.filter(F.col("bsz") <= cap)
+    pairs_small = (
+        small.select("band_id", "band_value", F.col("doc_id").alias("a"))
+        .join(small.select("band_id", "band_value",
+                           F.col("doc_id").alias("b")),
+              ["band_id", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs_large = (
+        bx.filter((F.col("bsz") > cap) & (F.col("doc_id") > F.col("bmin")))
+        .select(F.col("bmin").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairs_small.unionByName(pairs_large).distinct()
+    fa = fps.select(F.col("doc_id").alias("a"),
+                    F.col("simhash64").alias("fa"))
+    fb = fps.select(F.col("doc_id").alias("b"),
+                    F.col("simhash64").alias("fb"))
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                    .cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("a", "b", "hamming")
+    )
