@@ -916,16 +916,36 @@ SQL_EMBEDDING_NEAR_DUP = f"""
 # text analysis
 # ---------------------------------------------------------------------------
 
+#: GPT-2-style pre-tokenizer regex (ASCII subset): contraction
+#: suffixes, space-prefixed letter runs / digit runs / punctuation
+#: runs, residual whitespace. No lookarounds, so the Java (Spark) and
+#: RE2 (DuckDB) engines match it identically — parity-tested on
+#: punctuation/contraction/empty edge cases
+BPE_TOKEN_PATTERN = \
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def q_token_count(spark, sf_dir):
+    """Token counting both ways a pipeline budget needs: whitespace
+    words (the corpus-stats convention) and a BPE-ish pre-tokenizer
+    segment count (the LLM-cost convention — GPT-2's pre-tokenize
+    split, which upper-bounds the merged BPE token count). Both are
+    single-pass JVM expressions over the text column, no UDF."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(_words()).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long").alias("n_bpe_tokens"),
         F.col("n_chars").alias("n_chars"),
     )
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = f"""
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+           '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT)
+           AS n_bpe_tokens,
          n_chars
   FROM documents
 """
