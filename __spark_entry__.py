@@ -161,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": P.q_token_count,
         "quality_score": P.q_quality_score,
         "lang_id": P.q_lang_id,
-        "doc_fingerprint": P.q_doc_fingerprint,
+        "doc_fingerprint": P.q_doc_fingerprint_all,
         # multimodal plumbing (mapInPandas)
         "multimodal_metadata": P.q_multimodal_metadata,
     }
@@ -221,6 +221,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count": P.SQL_TOKEN_COUNT,
         "quality_score": P.SQL_QUALITY_SCORE,
         "lang_id": P.SQL_LANG_ID,
-        "doc_fingerprint": P.SQL_DOC_FINGERPRINT,
+        "doc_fingerprint": P.SQL_DOC_FINGERPRINT_ALL,
         "multimodal_metadata": P.SQL_MULTIMODAL_METADATA,
     }

@@ -219,13 +219,15 @@ def run_queries(spark, sf_dir: str) -> dict:
 
     qs = dict(entry_mod.queries())
     # the driver's 50-entry cap merged these into tagged-union entries
-    # (jaccard_near_dup, ann_topk); the headline suite keeps timing the
-    # raw variants so per-query numbers stay comparable across rounds
+    # (jaccard_near_dup, ann_topk, doc_fingerprint); the headline suite
+    # keeps timing the raw variants so per-query numbers stay
+    # comparable across rounds
     from derzis_spark import pipeline_queries as P
     qs.update({
         "jaccard_lsh_pairs": P.q_jaccard_lsh_pairs,
         "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
         "ann_ivf": P.q_ann_ivf,
+        "doc_fingerprint": P.q_doc_fingerprint,
     })
     out = {}
     for name in HEADLINE:
@@ -256,14 +258,17 @@ def run_fast_variants(spark, sf_dir: str) -> dict:
 
 
 def run_new_ops(spark, sf_dir: str) -> dict:
-    """Round-4 additions (simhash_near_dup, dedup_clusters), timed in
-    their own section and kept OUT of the headline total so
-    round-over-round suite totals stay comparable."""
+    """Round-4 additions (simhash_near_dup, dedup_clusters,
+    winnow_fingerprint, jaccard_shingle_pairs), timed in their own
+    section and kept OUT of the headline total so round-over-round
+    suite totals stay comparable."""
     from derzis_spark import pipeline_queries as P
 
     out = {}
     for name, fn in (("simhash_near_dup", P.q_simhash_near_dup),
-                     ("dedup_clusters", P.q_dedup_clusters)):
+                     ("dedup_clusters", P.q_dedup_clusters),
+                     ("winnow_fingerprint", P.q_winnow_fingerprint),
+                     ("jaccard_shingle_pairs", P.q_jaccard_shingle_pairs)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

@@ -216,9 +216,11 @@ def q_jaccard_near_dup(spark, sf_dir):
     return _jaccard_verify(spark, sf_dir, cand)
 
 
-def _jaccard_verify(spark, sf_dir, cand):
+def _jaccard_verify(spark, sf_dir, cand, unit="words"):
     """Exact token-set Jaccard (≥ 0.8) verify over candidate (a, b)
-    pairs, shared by both blocking schemes. The distinct-token arrays
+    pairs, shared by all blocking schemes; ``unit`` selects the unit
+    of comparison ("words" = whitespace words; "shingles" = 3-word
+    shingles, staged per ``_shingles_col``). The distinct-token arrays
     are built only for docs that appear in some candidate pair (a
     LEFT SEMI prune before the re-tokenize): at 100 TB most docs share
     no LSH bucket with anything, and re-splitting their text just to
@@ -235,8 +237,13 @@ def _jaccard_verify(spark, sf_dir, cand):
     ids = (cand.select(F.col("a").alias("doc_id"))
            .unionByName(cand.select(F.col("b").alias("doc_id")))
            .distinct())
-    tarr = (d.join(ids, "doc_id", "left_semi")
-            .select("doc_id", F.array_distinct(_words()).alias("ta")))
+    pruned = d.join(ids, "doc_id", "left_semi")
+    if unit == "shingles":
+        tarr = _shingle_docs(pruned).select(
+            "doc_id", F.array_distinct("sh").alias("ta"))
+    else:
+        tarr = pruned.select(
+            "doc_id", F.array_distinct(_words()).alias("ta"))
     return (
         cand.join(tarr.select(F.col("doc_id").alias("a"),
                               F.col("ta").alias("t_a")), "a")
@@ -1283,6 +1290,250 @@ SQL_DEDUP_CLUSTERS = f"""
 """
 
 
+#: winnowing parameters (Schleimer et al., the MOSS scheme): k-char
+#: Karp-Rabin grams, window-min selection over w consecutive gram
+#: hashes — guarantees any shared substring of length >= k + w - 1
+#: shares at least one selected fingerprint
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 31
+WINNOW_P = 2147483647
+
+
+def _winnow_fps_df(d, k: int = WINNOW_K, w: int = WINNOW_W):
+    """doc_id + winnowed fingerprint ARRAY (distinct selected k-gram
+    hashes), pure JVM: code-point array → k-gram Karp-Rabin hashes
+    (element_at polynomial sum, code·B^j mod P — products stay < 2^52,
+    no overflow in either engine) → window-min selection. Each stage
+    is its OWN projection: lambda bodies re-evaluate captured
+    expression trees per element (no CSE inside higher-order
+    functions), so inlining norm/codes/grams into one expression goes
+    O(len²·k) with the regexp re-run per gram — materializing per
+    stage keeps it O(len·k) and CollapseProject leaves multi-referenced
+    non-cheap arrays alone. Declarative recomputation instead of the
+    sequential rolling recurrence is the trade that keeps it inside
+    whole-stage codegen with zero Python; k=8 bounds the constant."""
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    pows = [pow(WINNOW_B, k - 1 - j, WINNOW_P) for j in range(k)]
+    codes = d.select(
+        "doc_id",
+        F.transform(F.split(norm, ""),
+                    lambda c: F.ascii(c).cast("long")).alias("codes"))
+
+    def gram_hash(i):
+        # i is 0-based gram start; element_at is 1-based, O(1)
+        total = None
+        for j in range(k):
+            term = F.element_at(F.col("codes"), i + j + 1) * F.lit(pows[j])
+            total = term if total is None else total + term
+        return total % F.lit(WINNOW_P)
+
+    n_codes = F.size(F.col("codes"))
+    grams = codes.select(
+        "doc_id",
+        F.when(
+            n_codes >= k,
+            F.transform(F.sequence(F.lit(0), n_codes - k), gram_hash)
+        ).otherwise(F.array().cast("array<long>")).alias("grams"))
+    n = F.size(F.col("grams"))
+    mins = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(0), n - w),
+                    lambda t: F.array_min(F.slice(F.col("grams"), t + 1, w)))
+    ).when(n > 0, F.array(F.array_min(F.col("grams")))) \
+     .otherwise(F.array().cast("array<long>"))
+    return grams.select("doc_id", F.array_distinct(mins).alias("fps"))
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): shared-
+    fingerprint groups across the corpus — docs sharing any substring
+    of length >= k+w-1 (11 chars at the defaults) share at least one
+    selected k-gram hash, so grouping by fingerprint value surfaces
+    PARTIAL overlap that whole-document hashing cannot. Output one row
+    per distinct fingerprint value: how many docs carry it and the
+    smallest. At 100 TB this is explode + hash-groupBy — map-side
+    combinable, no joins."""
+    d = load(spark, sf_dir, "documents")
+    # explode_OUTER + post-generate null filter, NOT explode: a plain
+    # explode makes InferFiltersFromGenerate add `size(fps) > 0` below
+    # the Generate, and PushDownPredicates then substitutes the whole
+    # staged lambda pipeline into that predicate — interpreted nested
+    # ArrayTransforms re-evaluate the captured arrays per element,
+    # O(len²·k) per row (observed: a 5 s job spinning for 11+ min).
+    # The outer variant infers no filter; the IS NOT NULL references
+    # the generated attribute so it cannot sink below the Generate.
+    return (
+        _winnow_fps_df(d)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("group_size"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+_SQL_WINNOW_GRAM = " + ".join(
+    f"CAST(unicode(substr(norm, i + {j}, 1)) AS BIGINT)"
+    f" * {pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P)}"
+    for j in range(WINNOW_K))
+
+SQL_WINNOW_FINGERPRINT = f"""
+  WITH normd AS (
+    SELECT doc_id, LOWER(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+    FROM documents
+  ),
+  gramsd AS (
+    SELECT doc_id,
+           CASE WHEN len(norm) >= {WINNOW_K} THEN
+             list_transform(range(1, len(norm) - {WINNOW_K} + 2),
+                            i -> ({_SQL_WINNOW_GRAM}) % {WINNOW_P})
+           ELSE [] END AS grams
+    FROM normd
+  ),
+  selected AS (
+    SELECT doc_id,
+           CASE WHEN len(grams) >= {WINNOW_W} THEN
+             list_transform(range(1, len(grams) - {WINNOW_W} + 2),
+                            t -> list_min(grams[t:t + {WINNOW_W} - 1]))
+           WHEN len(grams) > 0 THEN [list_min(grams)]
+           ELSE [] END AS fps
+    FROM gramsd
+  )
+  SELECT u.fp, COUNT(DISTINCT s.doc_id) AS group_size,
+         MIN(s.doc_id) AS min_doc_id
+  FROM selected s, UNNEST(list_distinct(s.fps)) AS u(fp)
+  GROUP BY u.fp
+"""
+
+
+#: shingle width for the n-gram Jaccard variant (3-word shingles —
+#: word-order-sensitive near-dup, the classic MinHash unit)
+SHINGLE_K = 3
+
+
+def _shingles_col(w, k: int = SHINGLE_K):
+    """k-word shingle array from an ALREADY-MATERIALIZED words-array
+    attribute column ``w`` — pure JVM (sequence + transform +
+    element_at), empty for docs shorter than k words.
+
+    ``w`` must be an attribute of a child projection, never the
+    ``_words()`` split expression itself: a lambda that captures a
+    non-attribute expression re-evaluates it per element (no CSE
+    inside higher-order functions), turning the O(len·k) shingle build
+    into O(len²·k). Callers stage ``_words().alias(...)`` first."""
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(k)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_docs(d):
+    """doc_id + ``sh`` shingle-array column, staged through a
+    materialized words column (see ``_shingles_col``)."""
+    return (d.select("doc_id", _words().alias("w_arr"))
+            .select("doc_id",
+                    _shingles_col(F.col("w_arr")).alias("sh")))
+
+
+def q_jaccard_shingle_pairs(spark, sf_dir):
+    """n-gram (3-word shingle) Jaccard near-dup: the word-ORDER-
+    sensitive variant of ``q_jaccard_lsh_pairs`` — two docs with the
+    same bag of words but different sentences stop matching. The chain
+    is the textbook shingle→minhash→band→bucket-join: shingles hash
+    through the same cross-engine base hash and 64 affine permuters as
+    the unigram signatures (one md5 per shingle, 64 min-aggs in ONE
+    hash-agg pass), band into 8×8 with representative bucket-min
+    edges, and survivors verify with exact shingle-set Jaccard ≥ 0.8
+    (semi-pruned ``_jaccard_verify`` over the shingle arrays)."""
+    d = load(spark, sf_dir, "documents")
+    # explode_outer + null filter for the same InferFiltersFromGenerate
+    # pushdown reason as q_winnow_fingerprint (the substituted shingle
+    # lambda in an inferred size()>0 predicate goes O(len²·k) per row)
+    tokens = (_shingle_docs(d)
+              .select("doc_id", F.explode_outer("sh").alias("w"))
+              .filter(F.col("w").isNotNull())
+              .select("doc_id", _token_base_col(F.col("w")).alias("bm")))
+    aggs = [
+        F.min((F.lit(a) * F.col("bm") + F.lit(b)) % F.lit(MINHASH64_P))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH64_AB)]
+    wide = tokens.groupBy("doc_id").agg(*aggs)
+    rpb = MINHASH64_ROWS_PER_BAND
+    vals = [
+        F.concat_ws("|", *[F.col(f"s{b * rpb + r}").cast("string")
+                           for r in range(rpb)])
+        for b in range(N_MINHASH64 // rpb)]
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(F.array(*vals)).alias("band_id", "band_value"))
+    mins = bands.groupBy("band_id", "band_value").agg(
+        F.min("doc_id").alias("a"))
+    cand = (
+        bands.join(mins, ["band_id", "band_value"])
+        .filter(F.col("doc_id") > F.col("a"))
+        .select("a", F.col("doc_id").alias("b")).distinct()
+    )
+    return _jaccard_verify(spark, sf_dir, cand, unit="shingles")
+
+_SQL_SHINGLES = f"""
+    SELECT doc_id,
+           list_transform(
+             range(1, greatest(len(w) - {SHINGLE_K - 2}, 1)),
+             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+SQL_JACCARD_SHINGLE_PAIRS = f"""
+  WITH shd AS ({_SQL_SHINGLES}),
+  sigs AS (
+    SELECT t.doc_id, CAST(p.h AS INT) AS h,
+           MIN((p.a * t.bm + p.b) % {MINHASH64_P}) AS sig
+    FROM (
+      SELECT s.doc_id,
+             CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT)
+               % {MINHASH64_P} AS bm
+      FROM shd s, UNNEST(s.sh) AS u(g)
+    ) t,
+    (VALUES {_PERM_VALUES}) AS p(h, a, b)
+    GROUP BY t.doc_id, p.h
+  ),
+  bands AS (
+    SELECT doc_id, CAST(h // {MINHASH64_ROWS_PER_BAND} AS INT) AS band_id,
+           string_agg(CAST(sig AS VARCHAR), '|' ORDER BY h) AS band_value
+    FROM sigs GROUP BY doc_id, band_id
+  ),
+  mins AS (
+    SELECT band_id, band_value, MIN(doc_id) AS a
+    FROM bands GROUP BY band_id, band_value
+  ),
+  cand AS (
+    SELECT DISTINCT m.a, x.doc_id AS b
+    FROM bands x JOIN mins m
+      ON x.band_id = m.band_id AND x.band_value = m.band_value
+    WHERE x.doc_id > m.a
+  ),
+  tarr AS (SELECT doc_id, list_distinct(sh) AS ta FROM shd),
+  scored AS (
+    SELECT c.a, c.b,
+           len(list_intersect(x.ta, y.ta)) AS n_common,
+           len(x.ta) AS sz_a, len(y.ta) AS sz_b
+    FROM cand c
+    JOIN tarr x ON x.doc_id = c.a
+    JOIN tarr y ON y.doc_id = c.b
+  )
+  SELECT a, b, n_common,
+         ROUND(CAST(n_common AS DOUBLE)
+               / (sz_a + sz_b - n_common), 6) AS jaccard
+  FROM scored
+  WHERE n_common > 0
+    AND ROUND(CAST(n_common AS DOUBLE)
+              / (sz_a + sz_b - n_common), 6) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # merged driver entries (the 50-entry driver cap, tests/test_entry_contract)
 # ---------------------------------------------------------------------------
@@ -1294,13 +1545,17 @@ def q_jaccard_near_dup_all(spark, sf_dir):
     column instead of spending two slots): ``capped_buckets`` =
     ``q_jaccard_near_dup`` (all intra-bucket pairs up to the cap),
     ``rep_edges`` = ``q_jaccard_lsh_pairs`` (representative edges
-    only). Each variant's full row set still hash-verifies — the union
-    is exactly the two results side by side."""
+    only), ``shingle3_rep_edges`` = ``q_jaccard_shingle_pairs``
+    (word-order-sensitive 3-gram shingles). Each variant's full row
+    set still hash-verifies — the union is exactly the results side
+    by side."""
     nd = q_jaccard_near_dup(spark, sf_dir) \
         .withColumn("blocking", F.lit("capped_buckets"))
     lsh = q_jaccard_lsh_pairs(spark, sf_dir) \
         .withColumn("blocking", F.lit("rep_edges"))
-    return nd.unionByName(lsh)
+    sh = q_jaccard_shingle_pairs(spark, sf_dir) \
+        .withColumn("blocking", F.lit("shingle3_rep_edges"))
+    return nd.unionByName(lsh).unionByName(sh)
 
 SQL_JACCARD_NEAR_DUP_ALL = f"""
   SELECT a, b, n_common, jaccard, 'capped_buckets' AS blocking
@@ -1308,6 +1563,9 @@ SQL_JACCARD_NEAR_DUP_ALL = f"""
   UNION ALL
   SELECT a, b, n_common, jaccard, 'rep_edges' AS blocking
   FROM ({SQL_JACCARD_LSH_PAIRS})
+  UNION ALL
+  SELECT a, b, n_common, jaccard, 'shingle3_rep_edges' AS blocking
+  FROM ({SQL_JACCARD_SHINGLE_PAIRS})
 """
 
 
@@ -1333,6 +1591,32 @@ SQL_ANN_TOPK = f"""
   UNION ALL
   SELECT 'ivf' AS method, rank, vec_id, label, cell, cosine
   FROM ({SQL_ANN_IVF})
+"""
+
+
+def q_doc_fingerprint_all(spark, sf_dir):
+    """Both fingerprinting schemes in ONE driver row (same 50-entry
+    rationale as ``q_jaccard_near_dup_all``): ``md5_whole`` = whole-
+    document md5 groups (``q_doc_fingerprint``), ``winnow_k8w4`` =
+    rolling-hash winnowing fingerprint groups
+    (``q_winnow_fingerprint``, fp rendered as a decimal string so the
+    two schemes share the string fingerprint column). Each scheme's
+    full row set still hash-verifies under the ``scheme`` tag."""
+    md = q_doc_fingerprint(spark, sf_dir) \
+        .withColumn("scheme", F.lit("md5_whole"))
+    wn = (q_winnow_fingerprint(spark, sf_dir)
+          .select(F.col("fp").cast("string").alias("fingerprint"),
+                  "group_size", "min_doc_id")
+          .withColumn("scheme", F.lit("winnow_k8w4")))
+    return md.unionByName(wn)
+
+SQL_DOC_FINGERPRINT_ALL = f"""
+  SELECT fingerprint, group_size, min_doc_id, 'md5_whole' AS scheme
+  FROM ({SQL_DOC_FINGERPRINT})
+  UNION ALL
+  SELECT CAST(fp AS VARCHAR) AS fingerprint, group_size, min_doc_id,
+         'winnow_k8w4' AS scheme
+  FROM ({SQL_WINNOW_FINGERPRINT})
 """
 
 

@@ -224,3 +224,84 @@ def test_connected_components_chain_converges_logarithmically(spark):
     # diameter 299 → plain propagation needs 299 rounds; pointer
     # jumping must land near log2(300) ≈ 8
     assert P.LAST_CC_ROUNDS <= 16, P.LAST_CC_ROUNDS
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (q_winnow_fingerprint)
+# ---------------------------------------------------------------------------
+
+def test_winnow_shared_substring_guarantee(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. §2): two docs sharing
+    any substring of length >= k + w - 1 (11 chars at k=8, w=4) select
+    at least one common fingerprint, regardless of the surrounding
+    text. Docs 0/1 embed the same 16-char phrase in otherwise disjoint
+    text; their selected-fingerprint sets must intersect."""
+    shared = "zqxjkvbwpfmghydc"  # 16 chars > k + w - 1
+    rows = [
+        (0, f"aaa bbb ccc {shared} ddd eee", "en", "s0", 40),
+        (1, f"nnn ooo ppp qqq rrr {shared} sss", "en", "s1", 44),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = {r["doc_id"]: set(r["fps"])
+           for r in P._winnow_fps_df(d).collect()}
+    assert fps[0] & fps[1], "shared 16-char substring selected no common fp"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark, tmp_path):
+    """Docs over disjoint alphabets select disjoint fingerprints (the
+    grouping surfaces no cross-doc groups)."""
+    rows = [
+        (0, "abc abd abe abf abg abh abi abj abk abl", "en", "s0", 39),
+        (1, "nop nqr nst nuv nwx nyz opq ors otu ovw", "en", "s1", 39),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = P.q_winnow_fingerprint(spark, sf_dir)
+    assert out.filter("group_size > 1").count() == 0
+
+
+def test_winnow_matches_oracle_on_synthetic(spark, tmp_path):
+    """Spark winnowing equals the DuckDB restatement on a synthetic
+    corpus with real partial overlap (beyond the shipped sf dirs)."""
+    rows = _doc_rows(60, dup=6, seed=23)
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    sdf = P.q_winnow_fingerprint(spark, sf_dir)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+    cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_WINNOW_FINGERPRINT)
+    assert sdf.columns == cols
+    assert s_rows == sorted(tuple(r) for r in d_rows)
+    # the dup cluster shares every fingerprint: some group has all 6
+    assert sdf.filter("group_size >= 6").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# 3-word shingle Jaccard (q_jaccard_shingle_pairs)
+# ---------------------------------------------------------------------------
+
+def test_shingle_pairs_order_sensitive(spark, tmp_path):
+    """The shingle variant is word-ORDER-sensitive where the unigram
+    variant is not: doc 1 is doc 0's words shuffled (identical word
+    SET), doc 2 is an exact copy of doc 0. The unigram op pairs all
+    three (token-set jaccard 1.0); the shingle op must pair only the
+    exact copy and never the shuffle."""
+    rng = random.Random(3)
+    vocab = [f"w{k}" for k in range(200)]
+    words = [rng.choice(vocab) for _ in range(40)]
+    shuffled = list(words)
+    while shuffled == words:
+        rng.shuffle(shuffled)
+    rows = [(0, " ".join(words), "en", "s0", 40),
+            (1, " ".join(shuffled), "en", "s1", 40),
+            (2, " ".join(words), "en", "s2", 40)]
+    rows += [(i, " ".join(rng.choice(vocab) for _ in range(40)),
+              "en", f"s{i % 5}", 40) for i in range(3, 24)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    uni = {(r["a"], r["b"])
+           for r in P.q_jaccard_lsh_pairs(spark, sf_dir).collect()}
+    assert (0, 1) in uni and (0, 2) in uni
+
+    sh = {(r["a"], r["b"]): r["jaccard"]
+          for r in P.q_jaccard_shingle_pairs(spark, sf_dir).collect()}
+    assert sh.get((0, 2)) == 1.0
+    assert not any(1 in pair for pair in sh), sh
