@@ -157,9 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": P.q_ann_lsh_buckets,
         "embedding_centroids": P.q_embedding_centroids,
         "embedding_near_dup": P.q_embedding_near_dup,
-        # training-data pipeline: text analysis
-        "token_count": P.q_token_count,
-        "quality_score": P.q_quality_score,
+        # training-data pipeline: text analysis (text_stats fuses
+        # the former token_count + quality_score rows into one scan)
+        "text_stats": P.q_text_stats,
+        "decontaminate": P.q_decontaminate,
         "lang_id": P.q_lang_id,
         "doc_fingerprint": P.q_doc_fingerprint_all,
         # multimodal plumbing (mapInPandas)
@@ -218,8 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": P.SQL_ANN_LSH_BUCKETS,
         "embedding_centroids": P.SQL_EMBEDDING_CENTROIDS,
         "embedding_near_dup": P.SQL_EMBEDDING_NEAR_DUP,
-        "token_count": P.SQL_TOKEN_COUNT,
-        "quality_score": P.SQL_QUALITY_SCORE,
+        "text_stats": P.SQL_TEXT_STATS,
+        "decontaminate": P.SQL_DECONTAMINATE,
         "lang_id": P.SQL_LANG_ID,
         "doc_fingerprint": P.SQL_DOC_FINGERPRINT_ALL,
         "multimodal_metadata": P.SQL_MULTIMODAL_METADATA,

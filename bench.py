@@ -228,6 +228,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "ann_bruteforce_cosine": P.q_ann_bruteforce_cosine,
         "ann_ivf": P.q_ann_ivf,
         "doc_fingerprint": P.q_doc_fingerprint,
+        "quality_score": P.q_quality_score,
     })
     out = {}
     for name in HEADLINE:
@@ -268,7 +269,9 @@ def run_new_ops(spark, sf_dir: str) -> dict:
     for name, fn in (("simhash_near_dup", P.q_simhash_near_dup),
                      ("dedup_clusters", P.q_dedup_clusters),
                      ("winnow_fingerprint", P.q_winnow_fingerprint),
-                     ("jaccard_shingle_pairs", P.q_jaccard_shingle_pairs)):
+                     ("jaccard_shingle_pairs", P.q_jaccard_shingle_pairs),
+                     ("text_stats", P.q_text_stats),
+                     ("decontaminate", P.q_decontaminate)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

@@ -1016,6 +1016,119 @@ SQL_LANG_ID = """
 """
 
 
+def q_text_stats(spark, sf_dir):
+    """token_count + quality_score fused into ONE projection over ONE
+    corpus scan (they share the doc_id grain and most of their
+    sub-expressions — at 100 TB two scans of the text column for two
+    per-doc stat families is pure waste). Union of both schemas; the
+    raw variants stay for bench comparability."""
+    d = load(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) \
+        .cast("double")
+    avg_wlen = (F.length("text") - (F.size(words) - 1)) / F.size(words)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").alias("n_chars"),
+        F.round(n_stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        (F.size(words) >= 10).alias("passes_min_len"),
+    )
+
+SQL_TEXT_STATS = f"""
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+           '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT)
+           AS n_bpe_tokens,
+         n_chars,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the', 'a'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS avg_word_len,
+         len(string_split(text, ' ')) >= 10 AS passes_min_len
+  FROM documents
+"""
+
+
+#: decontamination n-gram width (the 13-gram convention from the
+#: GPT-3/PaLM decontamination appendices) and the deterministic eval
+#: split (stand-in for a benchmark table: docs with doc_id % 10 == 0)
+DECON_N = 13
+DECON_EVAL_MOD = 10
+#: eval-gram broadcast gate (distinct eval grams above this join
+#: shuffled instead of broadcast)
+DECON_BCAST_LIMIT = 5_000_000
+
+
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination: flag every (train doc, eval doc)
+    pair sharing at least one 13-word n-gram, with the count of shared
+    distinct n-grams. The eval split is deterministic (doc_id % 10 ==
+    0) standing in for a benchmark table. Scale shape: grams hash to
+    int64 through the cross-engine md5 base hash so only 8-byte keys
+    move; real eval sets are tiny, so the eval gram→doc map broadcasts
+    (size-gated like the engine's dimension sides) and the corpus-side
+    scan NEVER shuffles — the only shuffle is the final groupBy over
+    hits, which is contamination-sized, not corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", _words().alias("w_arr"))
+        .select("doc_id",
+                _shingles_col(F.col("w_arr"), k=DECON_N).alias("sh"))
+        # explode_outer + null filter: same InferFiltersFromGenerate
+        # pushdown hazard as q_winnow_fingerprint
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", _token_base_col(F.col("g")).alias("gm")))
+    ev = (grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+          .select(F.col("doc_id").alias("eval_doc_id"), "gm")
+          .distinct())
+    # train side stays duplicate-gram'd (no corpus-wide distinct
+    # shuffle); countDistinct after the hit join dedups instead
+    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    ev_side = F.broadcast(ev) if ev.count() <= DECON_BCAST_LIMIT else ev
+    return (tr.join(ev_side, "gm")
+            .groupBy("doc_id", "eval_doc_id")
+            .agg(F.countDistinct("gm").alias("n_shared_ngrams")))
+
+SQL_DECONTAMINATE = f"""
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= {DECON_N} THEN
+             list_transform(range(1, len(w) - {DECON_N - 2}),
+                            i -> array_to_string(w[i:i + {DECON_N - 1}], ' '))
+           ELSE [] END AS sh
+    FROM w
+  ),
+  grams AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT)
+             % {MINHASH64_P} AS gm
+    FROM sh, UNNEST(sh.sh) AS u(g)
+  ),
+  ev AS (
+    SELECT DISTINCT doc_id AS eval_doc_id, gm FROM grams
+    WHERE doc_id % {DECON_EVAL_MOD} = 0
+  ),
+  tr AS (
+    SELECT doc_id, gm FROM grams WHERE doc_id % {DECON_EVAL_MOD} <> 0
+  )
+  SELECT t.doc_id, e.eval_doc_id,
+         COUNT(DISTINCT t.gm) AS n_shared_ngrams
+  FROM tr t JOIN ev e USING (gm)
+  GROUP BY t.doc_id, e.eval_doc_id
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of whitespace-normalized lowercase
     text + duplicate-group stats."""

@@ -305,3 +305,34 @@ def test_shingle_pairs_order_sensitive(spark, tmp_path):
           for r in P.q_jaccard_shingle_pairs(spark, sf_dir).collect()}
     assert sh.get((0, 2)) == 1.0
     assert not any(1 in pair for pair in sh), sh
+
+
+# ---------------------------------------------------------------------------
+# decontamination (q_decontaminate)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_planted_13gram(spark, tmp_path):
+    """A train doc embedding a verbatim 13-word span of an eval doc is
+    flagged against exactly that eval doc; a train doc overlapping by
+    only 12 words is not. Eval split = doc_id % 10 == 0."""
+    rng = random.Random(9)
+    vocab = [f"v{k}" for k in range(300)]
+    eval_words = [rng.choice(vocab) for _ in range(30)]
+    span13 = eval_words[5:18]
+    span12 = eval_words[5:17]
+    mk = lambda ws: " ".join(ws)
+    rows = [
+        (0, mk(eval_words), "en", "s0", 30),          # eval doc
+        (1, mk([rng.choice(vocab) for _ in range(10)] + span13
+               + [rng.choice(vocab) for _ in range(10)]), "en", "s1", 33),
+        (2, mk([rng.choice(vocab) for _ in range(10)] + span12
+               + [rng.choice(vocab) for _ in range(10)]), "en", "s2", 32),
+        (10, mk([rng.choice(vocab) for _ in range(30)]), "en", "s3", 30),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {(r["doc_id"], r["eval_doc_id"]): r["n_shared_ngrams"]
+           for r in P.q_decontaminate(spark, sf_dir).collect()}
+    assert got == {(1, 0): 1}
+
+    cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_DECONTAMINATE)
+    assert {(r[0], r[1]): r[2] for r in d_rows} == {(1, 0): 1}
