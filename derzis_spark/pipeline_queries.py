@@ -1021,15 +1021,50 @@ def q_text_stats(spark, sf_dir):
     corpus scan (they share the doc_id grain and most of their
     sub-expressions — at 100 TB two scans of the text column for two
     per-doc stat families is pure waste). Union of both schemas; the
-    raw variants stay for bench comparability."""
+    raw variants stay for bench comparability.
+
+    Also carries the Gopher-style repetition signals (Rae et al. 2021
+    §A1.1, the "repetition removal" quality filters): the share of
+    2-gram occurrences taken by the single most frequent 2-gram
+    (`top2gram_share`) and the share of 2-gram occurrences whose gram
+    appears more than once (`dup_2gram_share`). Both come from ONE
+    per-row run-length scan over the sorted shingle array (array_sort
+    + F.aggregate, pure JVM): O(len·log len) per row, no per-gram
+    groupBy — a corpus-wide explode+count for a per-document statistic
+    would shuffle the whole corpus for no reason."""
     d = load(spark, sf_dir, "documents")
-    words = _words()
-    n_tokens = F.size(words).cast("long")
+    # stage the words array as an attribute: _shingles_col lambdas
+    # re-evaluate captured non-attribute expressions per element
+    base = d.select("doc_id", "text", "n_chars", _words().alias("w"))
+    w = F.col("w")
+    n_tokens = F.size(w).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) \
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) \
         .cast("double")
-    avg_wlen = (F.length("text") - (F.size(words) - 1)) / F.size(words)
-    return d.select(
+    avg_wlen = (F.length("text") - (F.size(w) - 1)) / F.size(w)
+    sh = F.array_sort(_shingles_col(w, k=2))
+    zero = F.lit(0).cast("long")
+    rep_scan = F.aggregate(
+        sh,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best"), zero.alias("dup")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == acc["prev"], acc["best"])
+            .otherwise(F.greatest(acc["best"], acc["run"])).alias("best"),
+            F.when(x == acc["prev"], acc["dup"])
+            .otherwise(acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+                       .otherwise(zero)).alias("dup"),
+        ),
+        lambda acc: F.struct(
+            F.greatest(acc["best"], acc["run"]).alias("best"),
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+             .otherwise(zero)).alias("dup"),
+        ),
+    )
+    staged = base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.size(F.regexp_extract_all(
@@ -1038,23 +1073,65 @@ def q_text_stats(spark, sf_dir):
         F.col("n_chars").alias("n_chars"),
         F.round(n_stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
         F.round(avg_wlen, 6).alias("avg_word_len"),
-        (F.size(words) >= 10).alias("passes_min_len"),
+        (F.size(w) >= 10).alias("passes_min_len"),
+        F.size(sh).cast("long").alias("n_2grams"),
+        rep_scan.alias("_rep"),
+    )
+    n2 = F.col("n_2grams")
+    return staged.select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars", "stopword_ratio",
+        "avg_word_len", "passes_min_len", "n_2grams",
+        F.when(n2 > 0, F.round(
+            F.col("_rep.best").cast("double") / n2.cast("double"), 6))
+        .alias("top2gram_share"),
+        F.when(n2 > 0, F.round(
+            F.col("_rep.dup").cast("double") / n2.cast("double"), 6))
+        .alias("dup_2gram_share"),
     )
 
 SQL_TEXT_STATS = f"""
-  SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text,
+  WITH w AS (
+    SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2 THEN
+             list_transform(range(1, len(w)),
+                            i -> concat(w[i], ' ', w[i + 1]))
+           ELSE [] END AS sh
+    FROM w
+  ),
+  cnt AS (
+    SELECT doc_id, u.g, COUNT(*) AS c
+    FROM sh, UNNEST(sh.sh) AS u(g)
+    GROUP BY doc_id, u.g
+  ),
+  rep AS (
+    SELECT doc_id,
+           MAX(c) AS best,
+           SUM(c) AS tot,
+           COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup
+    FROM cnt GROUP BY doc_id
+  )
+  SELECT w.doc_id,
+         CAST(len(w.w) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(w.text,
            '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT)
            AS n_bpe_tokens,
-         n_chars,
-         ROUND(CAST(len(list_filter(string_split(text, ' '),
-                w -> w IN ('the', 'a'))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS stopword_ratio,
-         ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS avg_word_len,
-         len(string_split(text, ' ')) >= 10 AS passes_min_len
-  FROM documents
+         w.n_chars,
+         ROUND(CAST(len(list_filter(w.w,
+                t -> t IN ('the', 'a'))) AS DOUBLE)
+               / len(w.w), 6) AS stopword_ratio,
+         ROUND(CAST(LENGTH(w.text) - (len(w.w) - 1) AS DOUBLE)
+               / len(w.w), 6) AS avg_word_len,
+         len(w.w) >= 10 AS passes_min_len,
+         CAST(len(sh.sh) AS BIGINT) AS n_2grams,
+         ROUND(CAST(rep.best AS DOUBLE) / rep.tot, 6) AS top2gram_share,
+         ROUND(CAST(rep.dup AS DOUBLE) / rep.tot, 6) AS dup_2gram_share
+  FROM w
+  JOIN sh USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
 """
 
 

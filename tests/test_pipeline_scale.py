@@ -336,3 +336,36 @@ def test_decontaminate_flags_planted_13gram(spark, tmp_path):
 
     cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_DECONTAMINATE)
     assert {(r[0], r[1]): r[2] for r in d_rows} == {(1, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (q_text_stats Gopher-style 2-gram shares)
+# ---------------------------------------------------------------------------
+
+def test_text_stats_repetition_shares(spark, tmp_path):
+    """'x y x y x y' has 2-grams {x y:3, y x:2} -> top 3/5, dup 5/5;
+    an all-distinct doc has dup 0; a 1-word doc has no 2-grams and
+    null shares. Spark run-length scan == DuckDB relational count."""
+    rows = [
+        (0, "x y x y x y", "en", "s0", 11),
+        (1, "p q r s", "en", "s1", 7),
+        (2, "solo", "en", "s2", 4),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in P.q_text_stats(spark, sf_dir).collect()}
+    assert got[0]["n_2grams"] == 5
+    assert got[0]["top2gram_share"] == 0.6
+    assert got[0]["dup_2gram_share"] == 1.0
+    assert got[1]["n_2grams"] == 3
+    assert got[1]["top2gram_share"] == round(1 / 3, 6)
+    assert got[1]["dup_2gram_share"] == 0.0
+    assert got[2]["n_2grams"] == 0
+    assert got[2]["top2gram_share"] is None
+    assert got[2]["dup_2gram_share"] is None
+
+    cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_TEXT_STATS)
+    i = {c: k for k, c in enumerate(cols)}
+    duck = {r[i["doc_id"]]: r for r in d_rows}
+    for doc in (0, 1, 2):
+        for c in ("n_2grams", "top2gram_share", "dup_2gram_share"):
+            assert duck[doc][i[c]] == got[doc][c], (doc, c)
