@@ -240,18 +240,21 @@ def run_queries(spark, sf_dir: str) -> dict:
 
 
 def run_fast_variants(spark, sf_dir: str) -> dict:
-    """Production fast-path A/B (BENCH/BASELINE.md §7): xxhash64 token
-    hashing vs the oracle-parity md5 path — not a queries() entry
-    (xxhash64 has no DuckDB equivalent), benched here instead and kept
-    OUT of the headline total so round-over-round totals stay
-    comparable."""
+    """Production-variant timings kept OUT of the headline total so
+    round-over-round totals stay comparable: the xxhash64 token-hash
+    fast paths (no DuckDB equivalent, so benched here instead of
+    queries()) and the Lloyd-refined IVF (oracle-checked inside the
+    ann_topk union; timed here as the recall-quality variant of the
+    headline ann_ivf — BENCH/ann_recall_r4.json)."""
     from derzis_spark.pipeline_queries import (
-        q_minhash64_signatures_fast, q_simhash64_near_dup_fast)
+        q_ann_ivf_lloyd, q_minhash64_signatures_fast,
+        q_simhash64_near_dup_fast)
 
     out = {}
     for name, fn in (
             ("minhash64_signatures_fast", q_minhash64_signatures_fast),
-            ("simhash64_near_dup_fast", q_simhash64_near_dup_fast)):
+            ("simhash64_near_dup_fast", q_simhash64_near_dup_fast),
+            ("ann_ivf_lloyd2", q_ann_ivf_lloyd)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

@@ -369,3 +369,80 @@ def test_text_stats_repetition_shares(spark, tmp_path):
     for doc in (0, 1, 2):
         for c in ("n_2grams", "top2gram_share", "dup_2gram_share"):
             assert duck[doc][i[c]] == got[doc][c], (doc, c)
+
+
+# ---------------------------------------------------------------------------
+# IVF Lloyd refinement (q_ann_ivf_lloyd / ivf_topk)
+# ---------------------------------------------------------------------------
+
+def _clustered_rows(n, n_clusters=16, sigma=0.05, seed=3):
+    """n vectors in 64-d with C planted clusters (cluster of vector i
+    = i % C, so stride-sampled IVF seeds hit every cluster); noise
+    norm sigma*8 << 1 keeps the structure dominant — the regime real
+    text-embedding corpora live in (scripts/ann_recall.py)."""
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0.0, 1.0) for _ in range(64)]
+               for _ in range(n_clusters)]
+    return [
+        (i, [float(x + rng.gauss(0.0, sigma))
+             for x in centers[i % n_clusters]], i % 10)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("n", [300, 1200])
+def test_ann_ivf_lloyd_matches_oracle_at_two_sizes(spark, tmp_path, n):
+    """The 2-iteration Lloyd chain (assign -> mean -> assign -> mean ->
+    assign) re-derives identically in Spark and DuckDB at two corpus
+    sizes (k and the stride both depend on n)."""
+    sf_dir = _write_fixture(spark, tmp_path, _embedding_rows(n))
+    _assert_spark_matches_duckdb(
+        P.q_ann_ivf_lloyd(spark, sf_dir), sf_dir,
+        P.SQL_ANN_IVF_LLOYD, f"ann_ivf_lloyd[{n}]")
+
+
+def test_lloyd_refinement_lifts_recall_on_clustered_corpus(spark, tmp_path):
+    """On a planted-cluster corpus the stride-seeded quantizer is a
+    weak approximation; 2 Lloyd iterations must recover (essentially)
+    the true clusters: recall@10 vs the exact brute-force top-10 goes
+    to >= 0.9 and never drops below the unrefined scheme."""
+    sf_dir = _write_fixture(spark, tmp_path, _clustered_rows(400))
+    truth = {r["vec_id"] for r in
+             P.q_ann_bruteforce_cosine(spark, sf_dir).collect()}
+    e = P.load(spark, sf_dir, "embeddings")
+    stride = {r["vec_id"] for r in P.ivf_topk(e, iters=0).collect()}
+    lloyd = {r["vec_id"] for r in P.ivf_topk(e, iters=2).collect()}
+    r0 = len(truth & stride) / len(truth)
+    r2 = len(truth & lloyd) / len(truth)
+    assert r2 >= r0, (r0, r2)
+    assert r2 >= 0.9, (r0, r2)
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup (q_segment_dedup, seg16_md5)
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup_finds_shared_passage(spark, tmp_path):
+    """Two docs share one exact 16-word passage at different offsets
+    but differ elsewhere: whole-doc md5 puts them in separate groups,
+    segment dedup groups the aligned shared span. Spark == DuckDB."""
+    shared = " ".join(f"s{k}" for k in range(16))
+    rows = [
+        (0, shared + " tail0 a b c", "en", "s0", 0),
+        (1, shared + " other words entirely", "en", "s1", 0),
+        (2, "unrelated text with nothing shared at all", "en", "s2", 0),
+    ]
+    rows = [(i, t, l, s, len(t)) for i, t, l, s, _ in rows]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = P.q_segment_dedup(spark, sf_dir).collect()
+    dup = [r for r in out if r["group_size"] > 1]
+    # exactly one duplicated segment: the shared leading 16 words
+    assert len(dup) == 1 and dup[0]["min_doc_id"] == 0, dup
+    assert dup[0]["group_size"] == 2
+
+    cols, d_rows = _duckdb_docs_rows(sf_dir, P.SQL_SEGMENT_DEDUP)
+    i = {c: k for k, c in enumerate(cols)}
+    d_dup = [r for r in d_rows if r[i["group_size"]] > 1]
+    assert len(d_dup) == 1
+    assert {r["fingerprint"] for r in dup} == \
+        {r[i["fingerprint"]] for r in d_dup}
