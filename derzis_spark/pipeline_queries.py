@@ -874,6 +874,84 @@ def _lloyd_update(ev, cells):
     )
 
 
+def _ivf_quantizer(e, iters=0):
+    """Build the coarse quantizer (stride-seeded k≈√n cells + ``iters``
+    Lloyd refinements) and assign every vector. Returns (cent, cells):
+    cent = (cell, cv, cn) k-row DataFrame, cells = (vec_id, cell)."""
+    n = e.count()
+    k = max(2, math.ceil(math.sqrt(n)))
+    s = max(1, n // k)
+    ev = (e.select("vec_id", _to_d(F.col("embedding")).alias("ev"))
+          .withColumn("en", F.sqrt(_dotd(F.col("ev"), F.col("ev")))))
+    cent = (
+        e.filter((F.col("vec_id") % s == 0)
+                 & (F.col("vec_id") < k * s))
+        .select((F.col("vec_id") / s).cast("int").alias("cell"),
+                _to_d(F.col("embedding")).alias("cv"))
+        .withColumn("cn", F.sqrt(_dotd(F.col("cv"), F.col("cv"))))
+    )
+    for _ in range(iters):
+        # materialize each refinement so plans don't stack across
+        # iterations (k rows — trivially cacheable at any scale)
+        cent = _lloyd_update(ev, _ivf_assign(ev, cent)).cache()
+    return cent, _ivf_assign(ev, cent)
+
+
+def build_ivf_index(e, path, iters=2):
+    """Materialize the IVF index the way a 100-TB deployment would:
+    assign every vector to its (Lloyd-refined) cell and write the
+    corpus parquet PARTITIONED BY cell, so a probe's ``cell IN (…)``
+    filter becomes literal partition pruning — only the nprobe
+    matching directories are ever read (pinned by
+    tests/test_ivf_index.py on the executed plan's PartitionFilters).
+    Returns the centroid DataFrame (cell, cv, cn) — the k-row
+    dimension a query planner keeps resident to pick probe cells."""
+    cent, cells = _ivf_quantizer(e, iters)
+    e.join(cells, "vec_id").write.mode("overwrite") \
+        .partitionBy("cell").parquet(path)
+    return cent
+
+
+def probe_ivf_index(spark, path, cent, nprobe=3, topk=10):
+    """Top-k search against a materialized IVF index (build_ivf_index):
+    rank cells by centroid cosine vs the query (vec_id=0 read from the
+    index itself), collect the nprobe winning cell IDs (k-row
+    dimension — legitimately driver-sized at any corpus scale), and
+    scan ONLY those partitions with an ``isin`` literal filter. Same
+    ranking semantics as ivf_topk; the difference is the scan reads
+    nprobe/k of the data instead of filtering it after a full read."""
+    idx = spark.read.parquet(path)
+    qv = (idx.filter(F.col("vec_id") == 0)
+          .select(_to_d(F.col("embedding")).alias("qv"))
+          .withColumn("qn", F.sqrt(_dotd(F.col("qv"), F.col("qv")))))
+    pw = Window.orderBy(F.desc("qcos"), F.asc("cell"))
+    probe_cells = [
+        r["cell"] for r in (
+            cent.crossJoin(F.broadcast(qv))
+            .withColumn("qcos", F.round(
+                _dotd(F.col("cv"), F.col("qv"))
+                / (F.col("cn") * F.col("qn")), 4))
+            .withColumn("prank", F.row_number().over(pw))
+            .filter(F.col("prank") <= nprobe)
+            .select("cell").collect())
+    ]
+    cand = (
+        idx.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("xv", _to_d(F.col("embedding")))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(
+            _dotd(F.col("xv"), F.col("qv"))
+            / (F.sqrt(_dotd(F.col("xv"), F.col("xv"))) * F.col("qn")), 4))
+    )
+    top = cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(topk)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "vec_id", "label", "cell", "cosine")
+    )
+
+
 def ivf_topk(e, iters=0, nprobe=3, topk=10):
     """IVF search over an embeddings DataFrame with ``iters`` Lloyd
     refinements of the stride-seeded k≈√n coarse quantizer.
@@ -891,23 +969,7 @@ def ivf_topk(e, iters=0, nprobe=3, topk=10):
     no quantizer can beat the d=64 concentration of measure, which is
     why the recall evidence uses clustered corpora (where real text
     embeddings live)."""
-    n = e.count()
-    k = max(2, math.ceil(math.sqrt(n)))
-    s = max(1, n // k)
-    ev = (e.select("vec_id", _to_d(F.col("embedding")).alias("ev"))
-          .withColumn("en", F.sqrt(_dotd(F.col("ev"), F.col("ev")))))
-    cent = (
-        e.filter((F.col("vec_id") % s == 0)
-                 & (F.col("vec_id") < k * s))
-        .select((F.col("vec_id") / s).cast("int").alias("cell"),
-                _to_d(F.col("embedding")).alias("cv"))
-        .withColumn("cn", F.sqrt(_dotd(F.col("cv"), F.col("cv"))))
-    )
-    for _ in range(iters):
-        # materialize each refinement so plans don't stack across
-        # iterations (k rows — trivially cacheable at any scale)
-        cent = _lloyd_update(ev, _ivf_assign(ev, cent)).cache()
-    cells = _ivf_assign(ev, cent)
+    cent, cells = _ivf_quantizer(e, iters)
     assigned = e.join(cells, "vec_id")
     qv = (e.filter(F.col("vec_id") == 0)
           .select(_to_d(F.col("embedding")).alias("qv"))
