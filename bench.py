@@ -274,7 +274,8 @@ def run_new_ops(spark, sf_dir: str) -> dict:
                      ("winnow_fingerprint", P.q_winnow_fingerprint),
                      ("jaccard_shingle_pairs", P.q_jaccard_shingle_pairs),
                      ("text_stats", P.q_text_stats),
-                     ("decontaminate", P.q_decontaminate)):
+                     ("decontaminate", P.q_decontaminate),
+                     ("segment_dedup", P.q_segment_dedup)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
