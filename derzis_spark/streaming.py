@@ -86,6 +86,62 @@ def streaming_dedup(events: DataFrame, keys: list[str],
     return events.dropDuplicates(keys)
 
 
+#: output schema of domain_counters_stateful
+DOMAIN_COUNTERS_SCHEMA = (
+    "origin string, n_fetch long, n_extract long, n_error long")
+
+#: per-group state: the running counters (3 longs per origin)
+_DOMAIN_STATE_SCHEMA = "n_fetch long, n_extract long, n_error long"
+
+
+def _update_domain_counters(key, pdfs, state):
+    """applyInPandasWithState update function: fold this micro-batch's
+    events for one origin into the running (fetch, extract, error)
+    counters and emit the updated row. Pure pandas on Arrow batches —
+    no per-row Python."""
+    import pandas as pd
+
+    # GroupState.get is a property in pyspark 4 (raises if absent)
+    nf, nx, ne = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        nf += int((pdf["event_type"] == "fetch").sum())
+        nx += int((pdf["event_type"] == "extract").sum())
+        ne += int((pdf["event_type"] == "error").sum())
+    state.update((nf, nx, ne))
+    yield pd.DataFrame([{
+        "origin": key[0], "n_fetch": nf, "n_extract": nx,
+        "n_error": ne,
+    }])
+
+
+def domain_counters_stateful(events: DataFrame,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Per-domain running crawl counters as a CUSTOM stateful
+    streaming operator (``applyInPandasWithState`` — the API for
+    state machines the built-in aggs can't express; here the running
+    shape mirrors the reference's per-domain $inc counters,
+    Domain.ts:239-258 / batch ``q_domain_queue_counters``). Events
+    group by origin; each micro-batch folds into per-origin state and
+    emits the updated row, so the sink always holds the latest
+    counters per domain. State is one tiny tuple per origin —
+    bounded by the domain dimension, not the stream. Requires an
+    ``origin`` column (derive with the engine's canonicalize UDF
+    upstream)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("origin")
+        .applyInPandasWithState(
+            _update_domain_counters,
+            outputStructType=DOMAIN_COUNTERS_SCHEMA,
+            stateStructType=_DOMAIN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str,
                       name: str, output_mode: str = "append"
                       ) -> DataFrame:

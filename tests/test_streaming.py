@@ -107,3 +107,47 @@ def test_dedup_matches_batch_first_arrival(spark, tmp_path,
             spark.read.parquet(src).groupBy("url")
             .agg(F.min("event_id").alias("min_id")).collect()}
     assert got == want
+
+
+def test_stateful_domain_counters_match_batch(spark, tmp_path,
+                                              events_rows):
+    """Custom stateful operator (applyInPandasWithState): per-origin
+    counters folded across micro-batches. The LAST emitted row per
+    origin (counters are monotone, so max n_fetch picks it) must
+    equal the batch groupBy pivot on the same input."""
+    rows = [(eid, ts, etype, url, url.split("/")[2])
+            for eid, ts, etype, url in events_rows]
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+              "url string, origin string")
+    per = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, df.schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    out = S.run_available_now(
+        S.domain_counters_stateful(stream),
+        str(tmp_path / "ckpt4"), "dom_counters", output_mode="update")
+
+    # latest row per origin = the one with the largest counter sum
+    latest = {}
+    for r in out.collect():
+        tot = r["n_fetch"] + r["n_extract"] + r["n_error"]
+        if r["origin"] not in latest or tot > latest[r["origin"]][1]:
+            latest[r["origin"]] = (
+                (r["n_fetch"], r["n_extract"], r["n_error"]), tot)
+    got = {o: v[0] for o, v in latest.items()}
+
+    batch = spark.read.parquet(src)
+    want = {}
+    for r in (batch.groupBy("origin")
+              .agg(*[F.sum(F.when(F.col("event_type") == t, 1)
+                           .otherwise(0)).alias(t)
+                     for t in ("fetch", "extract", "error")])
+              .collect()):
+        want[r["origin"]] = (r["fetch"], r["extract"], r["error"])
+    assert got == want
