@@ -107,6 +107,15 @@ class CrawlConfig:
     #: batch-bounded anti-join against the domains table — a 10^8-
     #: domain crawl must not mirror the whole dimension on the driver
     origin_set_limit: int = 2_000_000
+    #: ceiling on the distinct-predicate vocabulary collected to
+    #: evaluate pred_limitations patterns driver-side (the fast path:
+    #: match each distinct predicate ONCE, apply as literal isin
+    #: sets). The probe is ``limit(n+1).collect()`` so the collect is
+    #: hard-bounded; past the gate the patterns are evaluated by a
+    #: vectorized pandas UDF per candidate row instead — a pathological
+    #: vocabulary (generated predicate URIs, one per triple) must not
+    #: materialize on the driver or as giant literal arrays in the plan
+    pred_vocab_limit: int = 1_000_000
     #: use the Bloom-filter pre-pass for the seen-set anti-join
     use_bloom: bool = True
     #: expected seen-set capacity for sizing the Bloom filter

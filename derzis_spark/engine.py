@@ -689,9 +689,12 @@ class CrawlEngine:
         lims = self.cfg.pred_limitations
         if not lims or self.cfg.path_type == "endpoint":
             return df
-        vocab = [r["p"] for r in
-                 df.select(F.explode("predicates").alias("p"))
-                 .distinct().collect()]
+        lim = self.cfg.pred_vocab_limit
+        rows = (df.select(F.explode("predicates").alias("p"))
+                .distinct().limit(lim + 1).collect())
+        if len(rows) > lim:
+            return self._step_path_filter_distributed(df, lims)
+        vocab = [r["p"] for r in rows]
 
         def matched(kind: str) -> list[str]:
             pats = [l.predicate for l in lims if kind in l.lims]
@@ -725,6 +728,39 @@ class CrawlEngine:
                 "predicates",
                 (lambda q: q.isin(rp)) if rp else (lambda q: F.lit(False)))
         return df.filter(cond)
+
+    def _step_path_filter_distributed(self, df: DataFrame,
+                                      lims) -> DataFrame:
+        """Above-``pred_vocab_limit`` regime of ``_step_path_filter``:
+        the same exists/forall semantics evaluated per path by one
+        vectorized array UDF (matched-set membership ≡
+        matches-any-pattern element-wise; empty-array behavior
+        mirrors exists→False / forall→True, with the documented
+        max_path_props=0 corner unchanged)."""
+        def pats(kind):
+            return tuple(l.predicate for l in lims if kind in l.lims)
+
+        has = {k: any(k in l.lims for l in lims)
+               for k in ("require-past", "disallow-past",
+                         "require-future", "disallow-future")}
+        st = udfs.make_step_pred_stats(
+            pats("require-future"), pats("disallow-future"),
+            pats("disallow-past"), pats("require-past"),
+        )(F.col("predicates"))
+        df = df.withColumn("_ps", st)
+        cond = F.lit(True)
+        if has["require-future"] or has["disallow-future"]:
+            # full paths only: exists(match rf) / exists(not match dfu)
+            full_ok = F.col("_ps.any_rf") if has["require-future"] \
+                else (F.size("predicates") > 0) & ~F.col("_ps.all_dfu")
+            cond = cond & (
+                (F.size("predicates") < self.cfg.max_path_props)
+                | full_ok)
+        if has["disallow-past"]:
+            cond = cond & ~F.col("_ps.any_dp")
+        if has["require-past"]:
+            cond = cond & F.col("_ps.all_rp")
+        return df.filter(cond).drop("_ps")
 
     def _phase_robots(self, rnd: int, eligible: DataFrame) -> int:
         """Robots checks for unvisited domains with eligible paths.
@@ -1527,46 +1563,126 @@ class CrawlEngine:
 
     def _pred_limit_filter(self, cand: DataFrame) -> DataFrame:
         """Predicate allow/deny (genTraversalPathQuery semantics,
-        process-paths.ts:791-866): patterns are evaluated once against
-        the small distinct-predicate vocabulary, then applied as
-        broadcast isin sets ($setIsSubset → F.forall)."""
+        process-paths.ts:791-866). Fast path (vocab ≤
+        ``pred_vocab_limit``): patterns are evaluated once against the
+        small distinct-predicate vocabulary, then applied as broadcast
+        isin sets ($setIsSubset → F.forall). The vocab probes are
+        ``limit(n+1).collect()`` so the driver never materializes more
+        than the gate; past it (pathological generated-URI
+        vocabularies) the patterns are evaluated per candidate row by
+        vectorized pandas UDFs instead — no driver rows, no
+        vocab-sized literal arrays in the plan."""
         lims = self.cfg.pred_limitations
         if not lims:
             return cand
-        vocab = [r["pred"] for r in cand.select("pred").distinct().collect()]
-        past_vocab = [
-            r["p"] for r in
-            cand.select(F.explode("predicates").alias("p")).distinct().collect()
-        ]
-        def matched(kind: str, words: list[str]) -> set[str]:
-            pats = [l.predicate for l in lims if kind in l.lims]
-            return {w for w in words
-                    if any(matches_predicate_pattern(p, w) for p in pats)}
+        lim = self.cfg.pred_vocab_limit
+        vocab_rows = (cand.select("pred").distinct()
+                      .limit(lim + 1).collect())
+        past_rows = (cand.select(F.explode("predicates").alias("p"))
+                     .distinct().limit(lim + 1).collect())
         labels = set(LABEL_PREDICATES)
-        dis_future = matched("disallow-future", vocab)
         req_future_pats = [l for l in lims if "require-future" in l.lims]
-        req_future = matched("require-future", vocab)
-        dis_past = matched("disallow-past", past_vocab) - labels
         req_past_pats = [l for l in lims if "require-past" in l.lims]
-        req_past = matched("require-past", past_vocab)
-
-        # isExtensionAllowed (TraversalPath.ts:451-537): label candidates
-        # are exempt from ALL limitations (:467-477); others must pass
-        # the future rules AND the path's past rules
         is_label = F.col("pred").isin(list(labels))
-        ok = ~F.col("pred").isin(list(dis_future)) if dis_future else F.lit(True)
+
+        if len(vocab_rows) <= lim and len(past_rows) <= lim:
+            vocab = [r["pred"] for r in vocab_rows]
+            past_vocab = [r["p"] for r in past_rows]
+
+            def matched(kind: str, words: list[str]) -> set[str]:
+                pats = [l.predicate for l in lims if kind in l.lims]
+                return {w for w in words
+                        if any(matches_predicate_pattern(p, w)
+                               for p in pats)}
+            dis_future = matched("disallow-future", vocab)
+            req_future = matched("require-future", vocab)
+            dis_past = matched("disallow-past", past_vocab) - labels
+            req_past = matched("require-past", past_vocab)
+
+            # isExtensionAllowed (TraversalPath.ts:451-537): label
+            # candidates are exempt from ALL limitations (:467-477);
+            # others must pass the future rules AND the path's past
+            # rules
+            ok = ~F.col("pred").isin(list(dis_future)) \
+                if dis_future else F.lit(True)
+            if req_future_pats:
+                ok = ok & F.col("pred").isin(list(req_future | labels))
+            if dis_past:
+                arr = F.array(*[F.lit(x) for x in sorted(dis_past)])
+                ok = ok & ~F.exists(
+                    "predicates", lambda p: F.array_contains(arr, p))
+            if req_past_pats:
+                allowed_past = sorted(req_past | labels)
+                arr = F.array(*[F.lit(x) for x in allowed_past])
+                ok = ok & F.forall(
+                    "predicates", lambda p: F.array_contains(arr, p))
+            return cand.filter(is_label | ok)
+
+        # above-gate path: same semantics, evaluated distributively
+        # (matched-set membership ≡ matches-any-pattern, so empty
+        # matched sets fall out of the UDF returning all-False)
+        def pats(kind):
+            return tuple(l.predicate for l in lims if kind in l.lims)
+
+        ok = F.lit(True)
+        if pats("disallow-future"):
+            ok = ok & ~udfs.make_pred_matcher(
+                pats("disallow-future"))(F.col("pred"))
         if req_future_pats:
-            ok = ok & F.col("pred").isin(list(req_future | labels))
-        if dis_past:
-            arr = F.array(*[F.lit(x) for x in sorted(dis_past)])
-            ok = ok & ~F.exists(
-                "predicates", lambda p: F.array_contains(arr, p))
-        if req_past_pats:
-            allowed_past = sorted(req_past | labels)
-            arr = F.array(*[F.lit(x) for x in allowed_past])
-            ok = ok & F.forall(
-                "predicates", lambda p: F.array_contains(arr, p))
+            ok = ok & (udfs.make_pred_matcher(
+                pats("require-future"))(F.col("pred")) | is_label)
+        dis_p, req_p = pats("disallow-past"), pats("require-past")
+        if dis_p or req_past_pats:
+            pc = udfs.make_past_pred_checks(
+                dis_p, req_p, tuple(sorted(labels)))(F.col("predicates"))
+            cand = cand.withColumn("_pc", pc)
+            if dis_p:
+                ok = ok & ~F.col("_pc.has_dis")
+            if req_past_pats:
+                ok = ok & F.col("_pc.all_req")
+            return cand.filter(is_label | ok).drop("_pc")
         return cand.filter(is_label | ok)
+
+    def _endpoint_pred_filter(self, df: DataFrame,
+                              pred_col: str) -> DataFrame:
+        """Endpoint-mode predicate gate (isExtensionAllowed,
+        EndpointPath.ts:160-190: FUTURE limitations only, label preds
+        exempt) — shared by the edge and blank-2-hop candidate paths.
+        Same two-regime structure as ``_pred_limit_filter``: bounded
+        vocab probe + driver literal sets below ``pred_vocab_limit``,
+        vectorized pattern UDF above it."""
+        lims = self.cfg.pred_limitations
+        if not lims:
+            return df
+        lim = self.cfg.pred_vocab_limit
+        labels = set(LABEL_PREDICATES)
+        req_pats = [l.predicate for l in lims if "require-future" in l.lims]
+        dis_pats = [l.predicate for l in lims
+                    if "disallow-future" in l.lims]
+        rows = (df.select(F.col(pred_col).alias("_p")).distinct()
+                .limit(lim + 1).collect())
+        if len(rows) <= lim:
+            vocab = [r["_p"] for r in rows]
+            req = {w for w in vocab if any(
+                matches_predicate_pattern(p, w) for p in req_pats)}
+            dis = {w for w in vocab if any(
+                matches_predicate_pattern(p, w)
+                for p in dis_pats)} - labels
+            ok = F.lit(True)
+            if req_pats:
+                ok = F.col(pred_col).isin(sorted(req | labels))
+            if dis:
+                ok = ok & ~F.col(pred_col).isin(sorted(dis))
+            return df.filter(ok)
+        is_label = F.col(pred_col).isin(sorted(labels))
+        ok = F.lit(True)
+        if req_pats:
+            ok = udfs.make_pred_matcher(
+                tuple(req_pats))(F.col(pred_col)) | is_label
+        if dis_pats:
+            ok = ok & ~(udfs.make_pred_matcher(
+                tuple(dis_pats))(F.col(pred_col)) & ~is_label)
+        return df.filter(ok)
 
     def convert_to_endpoint(self) -> None:
         """convertToEndpointPaths (process-paths.ts:1640-1716), the
@@ -1711,7 +1827,6 @@ class CrawlEngine:
             # generated-URI vocabulary would blow the hint); the count
             # also materializes the cache once for all waves
             n_bf = bf.count()
-        lims = self.cfg.pred_limitations
         guard = 0
         # endpoint mode keeps ONE url path per head, so the parents of
         # every wave are bounded by the driver-side head list (the
@@ -1733,25 +1848,10 @@ class CrawlEngine:
                     .withColumn("t_raw", F.col("node_raw"))
                     .withColumn("t_kind", F.col("node_kind")))
             cand = cand.filter(F.col("pred") != F.col("p_head"))
-            if lims:
-                # isExtensionAllowed: FUTURE limitations only, label
-                # preds exempt (EndpointPath.ts:160-190); the
-                # spl>=maxPathLength gate is the p filter above
-                vocab = [r["pred"] for r in
-                         cand.select("pred").distinct().collect()]
-                def matched(kind):
-                    pats = [l.predicate for l in lims if kind in l.lims]
-                    return {w for w in vocab if any(
-                        matches_predicate_pattern(pt, w) for pt in pats)}
-                labels = set(LABEL_PREDICATES)
-                req = matched("require-future")
-                dis = matched("disallow-future") - labels
-                ok = F.lit(True)
-                if any("require-future" in l.lims for l in lims):
-                    ok = F.col("pred").isin(sorted(req | labels))
-                if dis:
-                    ok = ok & ~F.col("pred").isin(sorted(dis))
-                cand = cand.filter(ok)
+            # isExtensionAllowed: FUTURE limitations only, label preds
+            # exempt (EndpointPath.ts:160-190); the spl>=maxPathLength
+            # gate is the p filter above
+            cand = self._endpoint_pred_filter(cand, "pred")
             # blank candidates split off AFTER the predicate-limit gate
             # (oracle order: pred==head rule → pred_allowed → kind
             # branch); the earlier formulation filtered blanks out of
@@ -1810,24 +1910,7 @@ class CrawlEngine:
                     & (F.col("o_dir") == 0)
                     & (F.col("o_kind") != "blank"))
                 out = out.filter(F.col("o_pred") != F.col("p_head"))
-                if lims:
-                    ovocab = [r["o_pred"] for r in
-                              out.select("o_pred").distinct().collect()]
-                    def omatched(kind):
-                        pats = [l.predicate for l in lims
-                                if kind in l.lims]
-                        return {w for w in ovocab if any(
-                            matches_predicate_pattern(pt, w)
-                            for pt in pats)}
-                    labels = set(LABEL_PREDICATES)
-                    oreq = omatched("require-future")
-                    odis = omatched("disallow-future") - labels
-                    ook = F.lit(True)
-                    if any("require-future" in l.lims for l in lims):
-                        ook = F.col("o_pred").isin(sorted(oreq | labels))
-                    if odis:
-                        ook = ook & ~F.col("o_pred").isin(sorted(odis))
-                    out = out.filter(ook)
+                out = self._endpoint_pred_filter(out, "o_pred")
                 sel = ["p_head", "p_length", "p_seeds", "parent_seq",
                        F.col("o_pred").alias("pred"),
                        F.col("o_kind").alias("node_kind"),

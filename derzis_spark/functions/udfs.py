@@ -148,6 +148,101 @@ def make_robots_crawl_delay(user_agent: str):
     return robots_crawl_delay
 
 
+def make_pred_matcher(patterns: tuple):
+    """Vectorized any-pattern predicate matcher (the above-
+    ``pred_vocab_limit`` path of the pred-limitation filters): True
+    where the predicate matches ANY of the config patterns
+    (process-utils.ts semantics via core.matches_predicate_pattern).
+    Each DISTINCT predicate in the batch is evaluated once
+    (factorize), so a skewed batch costs O(distinct), not O(rows)."""
+    pats = tuple(patterns)
+
+    @pandas_udf(BooleanType())
+    def pred_matches(preds: pd.Series) -> pd.Series:
+        codes, uniques = pd.factorize(preds, use_na_sentinel=True)
+        hits = [
+            any(core.matches_predicate_pattern(p, w) for p in pats)
+            for w in uniques
+        ]
+        return pd.Series(
+            [False if c < 0 else hits[c] for c in codes],
+            index=preds.index, dtype=bool)
+    return pred_matches
+
+
+def make_past_pred_checks(dis_pats: tuple, req_pats: tuple,
+                          labels: tuple):
+    """Array-level past-rule checks for the above-``pred_vocab_limit``
+    regime, one Arrow pass per candidate's ``predicates`` array:
+    ``has_dis`` = any element matches a disallow-past pattern and is
+    not a label predicate; ``all_req`` = every element matches a
+    require-past pattern or is a label predicate — exactly the
+    driver path's ``exists(p in dis_past-labels)`` /
+    ``forall(p in req_past|labels)`` literal-set semantics. Per-array
+    match results are memoized across the batch (paths in one batch
+    share most predicates)."""
+    dis, req, labs = tuple(dis_pats), tuple(req_pats), set(labels)
+
+    @pandas_udf("has_dis boolean, all_req boolean")
+    def past_checks(arrs: pd.Series) -> pd.DataFrame:
+        memo = {}
+
+        def flags(w):
+            if w not in memo:
+                memo[w] = (
+                    any(core.matches_predicate_pattern(p, w)
+                        for p in dis) and w not in labs,
+                    any(core.matches_predicate_pattern(p, w)
+                        for p in req) or w in labs,
+                )
+            return memo[w]
+
+        rows = []
+        for arr in arrs:
+            elems = [] if arr is None else list(arr)
+            fl = [flags(w) for w in elems]
+            rows.append((any(f[0] for f in fl),
+                         all(f[1] for f in fl)))
+        return pd.DataFrame(rows, columns=["has_dis", "all_req"])
+    return past_checks
+
+
+def make_step_pred_stats(rf: tuple, dfu: tuple, dp: tuple, rp: tuple):
+    """Array-level pattern stats for the scheduling-side filter's
+    above-``pred_vocab_limit`` regime (``_step_path_filter`` — no
+    label exemption there): per ``predicates`` array, ``any_rf`` /
+    ``any_dp`` = some element matches a require-future /
+    disallow-past pattern; ``all_dfu`` / ``all_rp`` = every element
+    matches a disallow-future / require-past pattern (empty array →
+    False / True respectively, mirroring exists/forall over empty
+    arrays). Distinct elements are memoized across the batch."""
+    pats = {"rf": tuple(rf), "dfu": tuple(dfu),
+            "dp": tuple(dp), "rp": tuple(rp)}
+
+    @pandas_udf("any_rf boolean, all_dfu boolean, "
+                "any_dp boolean, all_rp boolean")
+    def step_stats(arrs: pd.Series) -> pd.DataFrame:
+        memo = {}
+
+        def flags(w):
+            if w not in memo:
+                memo[w] = {k: any(
+                    core.matches_predicate_pattern(p, w) for p in ps)
+                    for k, ps in pats.items()}
+            return memo[w]
+
+        rows = []
+        for arr in arrs:
+            fl = [flags(w) for w in ([] if arr is None else arr)]
+            rows.append((any(f["rf"] for f in fl),
+                         all(f["dfu"] for f in fl),
+                         any(f["dp"] for f in fl),
+                         all(f["rp"] for f in fl)))
+        return pd.DataFrame(
+            rows, columns=["any_rf", "all_dfu", "any_dp", "all_rp"])
+    return step_stats
+
+
 def blank_node_ns(source_col, local_col):
     """Native-expression blank-node namespacing (Worker.ts:63-70):
     ``_:{source}:{local-without-_:}`` — stays JVM-side."""

@@ -29,6 +29,40 @@ CASES = [
               PredLimitation("/p[02]$/", ("disallow-future",)),
               PredLimitation("http://example.org/pred/p5",
                              ("disallow-past",)))), 10),
+    # pred_vocab_limit=0 forces the above-gate DISTRIBUTED pattern
+    # paths (vectorized UDFs instead of driver vocab collects) through
+    # all four filter sites; outputs must stay bit-identical
+    ("predlims_require_past_gate0",
+     dict(n_pages=90, n_origins=5, n_seeds=4, seed=102),
+     dict(max_path_length=4, max_path_props=2, resources_per_domain=2,
+          pred_vocab_limit=0,
+          pred_limitations=(
+              PredLimitation("http://example.org/pred/p1",
+                             ("require-past", "require-future")),)), 12),
+    ("predlims_disallow_gate0",
+     dict(n_pages=90, n_origins=5, n_seeds=4, seed=103, literal_rate=0.8),
+     dict(max_path_length=3, max_path_props=3, resources_per_domain=4,
+          pred_vocab_limit=0,
+          pred_limitations=(
+              PredLimitation("/p[02]$/", ("disallow-future",)),
+              PredLimitation("http://example.org/pred/p5",
+                             ("disallow-past",)))), 10),
+    ("endpoint_predlims",
+     dict(n_pages=90, n_origins=5, n_seeds=4, seed=107, blank_rate=0.2),
+     dict(max_path_length=3, max_path_props=3, resources_per_domain=3,
+          path_type="endpoint",
+          pred_limitations=(
+              PredLimitation("/p[13]$/", ("disallow-future",)),
+              PredLimitation("http://example.org/pred/p4",
+                             ("require-future",)))), 10),
+    ("endpoint_predlims_gate0",
+     dict(n_pages=90, n_origins=5, n_seeds=4, seed=107, blank_rate=0.2),
+     dict(max_path_length=3, max_path_props=3, resources_per_domain=3,
+          path_type="endpoint", pred_vocab_limit=0,
+          pred_limitations=(
+              PredLimitation("/p[13]$/", ("disallow-future",)),
+              PredLimitation("http://example.org/pred/p4",
+                             ("require-future",)))), 10),
     ("endpoint_dir_alt",
      dict(n_pages=90, n_origins=5, n_seeds=4, seed=104, alt_rate=0.2),
      dict(max_path_length=4, max_path_props=2, resources_per_domain=2,
