@@ -275,7 +275,8 @@ def run_new_ops(spark, sf_dir: str) -> dict:
                      ("jaccard_shingle_pairs", P.q_jaccard_shingle_pairs),
                      ("text_stats", P.q_text_stats),
                      ("decontaminate", P.q_decontaminate),
-                     ("segment_dedup", P.q_segment_dedup)):
+                     ("segment_dedup", P.q_segment_dedup),
+                     ("tfidf_top_terms", P.q_tfidf_top_terms)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

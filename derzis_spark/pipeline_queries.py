@@ -2189,3 +2189,82 @@ def q_simhash64_near_dup_fast(spark, sf_dir):
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+#: idf table broadcast gate: vocabulary rows are (term, df) pairs —
+#: tiny vs the corpus, but a pathological generated vocabulary must
+#: fall back to the shuffle join instead of a multi-GB broadcast
+TFIDF_BCAST_LIMIT = 5_000_000
+
+#: top-k terms kept per document
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 keywords by TF-IDF (the classic corpus
+    statistic a training-data pipeline uses for topic tagging /
+    keyword indexing). tfidf = tf · ln(N/df), ties broken by term so
+    the result is deterministic.
+
+    Shuffle structure at 100 TB: one map-side-combinable (doc_id,
+    term) count for tf, one term-grain count over per-doc DISTINCT
+    terms for df (the only corpus-global fact IDF needs — exploding
+    ``array_distinct`` first means the shuffle carries one row per
+    (doc, distinct term), never per token), an idf join that
+    broadcasts below ``TFIDF_BCAST_LIMIT`` vocabulary rows and
+    shuffle-joins above it, and a per-doc top-k that plans as
+    WindowGroupLimit (rank filter pushed map-side) rather than a full
+    per-doc sort."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # corpus cardinality: one scalar job
+    base = d.select("doc_id", _words().alias("w"))
+    tf = (base.select("doc_id", F.explode("w").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = (base.select(
+        "doc_id", F.explode(F.array_distinct("w")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df")))
+    idf = dfreq.select(
+        "term",
+        F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    idf_side = F.broadcast(idf) if idf.count() <= TFIDF_BCAST_LIMIT \
+        else idf
+    scored = tf.join(idf_side, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TFIDF_TOP_K)
+            .select("doc_id", "term", "tfidf",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+  ),
+  dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+  ),
+  n AS (SELECT COUNT(*) AS n FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(n.n::DOUBLE / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  )
+  SELECT doc_id, term, tfidf, rnk FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS INT) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TFIDF_TOP_K}
+"""

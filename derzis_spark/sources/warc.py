@@ -271,6 +271,42 @@ def read_warc(spark: SparkSession, paths: str | list[str],
     return pdf.mapInPandas(parse, WARC_SCHEMA)
 
 
+def write_warc_df(df: DataFrame, out_dir: str,
+                  gzip_per_record: bool = True) -> DataFrame:
+    """Distributed WARC sink: write ``(url, warc_ts, html)`` rows as
+    one WARC file per partition under ``out_dir`` (the N-files layout
+    every archive pipeline shards into). The files are written
+    EXECUTOR-side — the driver never sees a page byte; the returned
+    (warc_file, n_records) frame is the write manifest, one row per
+    produced file. Partition the input by whatever sharding the
+    archive should have (e.g. ``df.repartition(k, "url")``) before
+    calling."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_per_record else ".warc"
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        it = (
+            (r.url, None if pd.isna(r.warc_ts) else
+             r.warc_ts.to_pydatetime(), bytes(r.html))
+            for pb in batches
+            for r in pb.itertuples(index=False))
+        n = write_warc(it, path, gzip_per_record=gzip_per_record)
+        if n == 0:
+            os.remove(path)  # empty partition: no empty-shard litter
+            return
+        yield pd.DataFrame(
+            [{"warc_file": os.path.basename(path), "n_records": n}])
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        write_part, "warc_file string, n_records long")
+
+
 def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     """Project a read_warc frame to the engine's PAGES input columns
     (text/lang stay null — they are extraction OUTPUTS the fetch

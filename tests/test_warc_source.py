@@ -109,6 +109,28 @@ def test_warc_to_pages_feeds_extraction(spark, tmp_path, fx):
         assert got[url] == core.extract_text(html), url
 
 
+def test_warc_sink_roundtrip(spark, tmp_path, fx):
+    """Distributed sink → reader round-trip: executor-written shards
+    re-read to the exact (url, html, warc_ts) set, and the returned
+    manifest accounts for every record."""
+    from derzis_spark import schemas
+    from derzis_spark.sources.warc import write_warc_df
+
+    pages = spark.createDataFrame(fx.pages_rows(), schemas.PAGES)
+    out = os.path.join(str(tmp_path), "sink")
+    manifest = write_warc_df(pages.repartition(4, "url"), out).collect()
+    assert sum(m["n_records"] for m in manifest) == len(fx.urls)
+    assert len(manifest) == len(
+        glob.glob(os.path.join(out, "*.warc.gz")))
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    got = {r["url"]: (bytes(r["html"]), r["warc_ts"])
+           for r in back.collect()}
+    assert len(got) == len(fx.urls)
+    for url, ts, html in zip(fx.urls, fx.warc_ts, fx.html):
+        assert got[url][0] == html
+        assert got[url][1].replace(tzinfo=dt.timezone.utc) == ts
+
+
 def test_parallelism_spreads_files(spark, tmp_path, fx):
     paths = _write_fixture_warcs(tmp_path, fx, n_files=6)
     df = read_warc(spark, paths, parallelism=3)
