@@ -1401,8 +1401,19 @@ class CrawlEngine:
             # zero per-row-Python pre-pass: xxhash64 in codegen, then k
             # vectorized numpy probes per Arrow batch against the
             # broadcast-once word array (operators/seen_set.py)
+            # materialize ONCE before branching: definitely_new and
+            # maybe_seen both consume `flagged`, and without a
+            # checkpoint the whole upstream (raw-node distinct →
+            # canonicalize pandas pass → canonical distinct → Bloom
+            # probe) is computed TWICE inside the insert's final
+            # checkpoint job — the profiled fused pipeline cost MORE
+            # than the sum of its stage-by-stage materializations
+            # (bench-scale disc_ckpt ~3.5 s vs ~2.2 s staged; the
+            # duplicated canonicalize pass is also the dominant
+            # mega-round discover cost, BENCH/BASELINE.md §0.1)
             flagged = urls.withColumn(
-                "_maybe_seen", self._bloom.might_contain(F.col("url")))
+                "_maybe_seen", self._bloom.might_contain(F.col("url"))
+            ).localCheckpoint(eager=True)
             definitely_new = flagged.filter(
                 ~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe_seen = flagged.filter(
