@@ -2302,30 +2302,28 @@ class CrawlEngine:
             # head set against the DONE rows, which an unvisited-row
             # insert can never change).
             url_heads = children.filter(
-                F.col("head_kind") == "url").select(
-                F.col("head_url")).distinct()
+                F.col("head_kind") == "url").select(F.col("head_url"))
             pending_heads.append(url_heads)
             # next wave: blank heads chain immediately; url heads whose
             # resource is already done re-extend against the store.
-            # The head set never reaches the driver — it's checkpointed
-            # (one probe job; the count on materialized partitions is
-            # ~free) and fed straight back into the semi-join, so a
-            # mega-wave's re-extension set scales with executors
+            # The probe stays LAZY: it folds into the next wave's
+            # candidate job (children are checkpointed, so the plan
+            # stays one node deep) and the cascade terminates on that
+            # job's child count instead of a dedicated probe job —
+            # one fewer job per wave, and no distincts anywhere on the
+            # probe path (semi-join right sides ignore duplicates;
+            # the cascade-end head insert re-distincts before its
+            # anti-join). Safe to defer because the done-resource set
+            # cannot change mid-cascade — head inserts are batched to
+            # cascade end and only ever add `unvisited` rows. The
+            # per-wave head set still never reaches the driver, and a
+            # mega-wave's re-extension semi-join scales with executors
             probe = (
                 _done_probe(url_heads, n)
                 .unionByName(
                     children.filter(F.col("head_kind") == "blank")
-                    .select("head_url").distinct())
-                .distinct()
+                    .select("head_url"))
             )
-            _w1 = _time.time()
-            probe = probe.localCheckpoint(eager=True)
-            n_next = probe.count()
-            _wp["probe_s"] = round(_time.time() - _w1, 2)
-            if n_next == 0:
-                break
-            # probe is already distinct + materialized: plain semi-join
-            # (AQE picks broadcast vs shuffle from its real size)
             parents = children.join(probe, "head_url", "left_semi")
             n_parents = n  # children of this wave bound the next parents
         if pending_heads:

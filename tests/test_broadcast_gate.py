@@ -112,29 +112,27 @@ def test_over_threshold_wave_crawl_exact_match(spark):
 
 
 def test_wave_done_probe_reuses_store_partitioning(spark, monkeypatch):
-    """At wave gate 0 every wave's done probe (heads ∩ done resources)
-    must read the once-per-round hash-partitioned done_res cache
-    instead of re-shuffling the store-sized resources side per wave:
-    the probe plan's semi-join left leg is an InMemoryTableScan whose
-    relation carries the REPARTITION_BY_NUM exchange, and the plan has
-    exactly THREE demand-driven exchanges (url-head distinct,
-    blank-head distinct, top-level distinct). A regression that joins
-    the raw resources view re-adds a fourth ENSURE_REQUIREMENTS
-    exchange on the done side."""
-    from pyspark.sql.classic.dataframe import DataFrame
-
+    """At wave gate 0 every re-extension wave's done probe (heads ∩
+    done resources) is folded LAZILY into the next wave's candidate
+    plan (no dedicated probe job since the lazy-probe change), and
+    there it must read the once-per-round hash-partitioned done_res
+    cache instead of re-shuffling the store-sized resources side per
+    wave: the probe's done leg is a column-pruned
+    ``InMemoryTableScan [head_url#…]`` over the REPARTITION_BY_NUM
+    cache, and the whole re-extension plan carries exactly THREE
+    demand-driven exchanges — all wave-sized head_url sides (outer
+    semi left + right, inner semi probe side). A regression that
+    joins the raw resources view re-adds a fourth ENSURE_REQUIREMENTS
+    exchange on the (store-sized) done side."""
     plans = []
-    orig = DataFrame.localCheckpoint
+    orig = CrawlEngine._extend_wave
 
-    def spy(self, eager=True):
-        # in a traversal-mode crawl the wave done probe is the only
-        # single-column head_url frame that gets checkpointed
-        if self.columns == ["head_url"]:
-            plans.append(
-                self._jdf.queryExecution().executedPlan().toString())
-        return orig(self, eager)
+    def spy(self, rnd, parents, ends, bf, n_parents, n_bf=0):
+        df = orig(self, rnd, parents, ends, bf, n_parents, n_bf)
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return df
 
-    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    monkeypatch.setattr(CrawlEngine, "_extend_wave", spy)
     fx = generate_fixture(n_pages=120, n_origins=6, n_seeds=4, seed=42)
     cfg = CrawlConfig(max_path_length=3, max_path_props=2,
                       resources_per_domain=2, max_rounds=6,
@@ -147,27 +145,34 @@ def test_wave_done_probe_reuses_store_partitioning(spark, monkeypatch):
         engine.run(seeds, max_rounds=6)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert plans, "no wave done probe ran"
-    for p in plans:
-        # done side reads the hash-partitioned cache, not a re-shuffle
-        assert "InMemoryTableScan" in p, p[:2000]
-        assert p.count("REPARTITION_BY_NUM") >= 1, p[:2000]
+    probes = [p for p in plans if "LeftSemi" in p]
+    assert probes, "no re-extension wave (with inlined done probe) ran"
+    for p in probes:
+        # the done leg is a single-column read of the hashed cache
+        assert "InMemoryTableScan [head_url#" in p, p[:2000]
+        # both round-sized caches (ends + done) are hash-partitioned
+        assert p.count("REPARTITION_BY_NUM") >= 2, p[:2000]
         n_ens = p.count("ENSURE_REQUIREMENTS")
         assert n_ens == 3, \
-            f"expected 3 demand-driven exchanges, got {n_ens}:\n{p[:2000]}"
+            f"expected 3 wave-sized exchanges, got {n_ens}:\n{p[:2000]}"
 
 
 def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
     """On the forced-shuffle path the wave candidate plan must carry
-    exactly ONE demand-driven (ENSURE_REQUIREMENTS) exchange — the
-    parents side: the edge view is cached hash-partitioned on the join
-    key (one REPARTITION_BY_NUM per round, inside InMemoryRelation, so
+    only wave-sized demand-driven (ENSURE_REQUIREMENTS) exchanges:
+    the edge view is cached hash-partitioned on the join key (one
+    REPARTITION_BY_NUM per round, inside InMemoryRelation, so
     mega-waves never re-shuffle the store-sized side), and the child
     dedup's grouping keys lead with the join key p_head, so the
     aggregation's clustering requirement is satisfied by the join's
     hashpartitioning(p_head) output and the fat child rows
-    (nodes/predicates arrays) never reshuffle. Regressions re-add an
-    ENSURE_REQUIREMENTS exchange (ends side or between join and agg)."""
+    (nodes/predicates arrays) never reshuffle. Frontier waves carry
+    exactly ONE such exchange (the parents side); re-extension waves
+    carry THREE (the lazily-inlined done probe's wave-sized head_url
+    sides — see test_wave_done_probe_reuses_store_partitioning),
+    whose semi output partitioning feeds the cand join with no
+    further parents exchange. Regressions re-add an exchange (ends
+    side, done side, or between join and agg)."""
     plans = []
     orig = CrawlEngine._extend_wave
 
@@ -195,12 +200,20 @@ def test_wave_dedup_reuses_join_partitioning(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plans, "no cascade wave ran"
+    assert any("LeftSemi" not in p for p in plans), "no frontier wave"
     for p in plans:
-        assert "BroadcastHashJoin" not in p
+        # the cand join itself must shuffle-join under the forced
+        # config — a BroadcastExchange ABOVE the caches would mean a
+        # hint bypassed the gate. (The plan TEXT still contains
+        # broadcast nodes inside InMemoryTableScan sections: cached
+        # lineage of earlier round updates, printed but not executed
+        # per wave — so assert on the join node, not substring absence)
+        assert "SortMergeJoin [p_head#" in p, p[:2000]
         n_ens = p.count("ENSURE_REQUIREMENTS")
-        assert n_ens == 1, \
-            f"expected 1 demand-driven exchange (parents), got {n_ens}:" \
-            f"\n{p[:2000]}"
+        expected = 3 if "LeftSemi" in p else 1
+        assert n_ens == expected, \
+            f"expected {expected} demand-driven exchanges, got " \
+            f"{n_ens}:\n{p[:2000]}"
         # the ends side reads the per-round hash-partitioned cache:
         # its one repartition prints inside the InMemoryRelation
         assert p.count("REPARTITION_BY_NUM") >= 1, p[:2000]
