@@ -1181,7 +1181,12 @@ class CrawlEngine:
         MERGE-scan cost shape as _merge_triples)."""
         kcols = ["subject", "predicate", "object_kind", "object_value",
                  "object_datatype", "object_language"]
-        keys = keys.distinct().localCheckpoint(eager=True)
+        # lazy checkpoint: the src job below contains keys' plan, so
+        # its (eager) materialization computes AND checkpoints keys in
+        # the same job — one ledger job per cascade instead of two.
+        # Every call site runs the src job unconditionally, so keys is
+        # always materialized before any later-round consumer sees it
+        keys = keys.distinct().localCheckpoint(eager=False)
         self._proc_triples_df = self._proc_triples_df.unionByName(keys)
         self._append_deltas["proc_triples"].append(keys)
         norm = self.triples.select(
