@@ -276,7 +276,8 @@ def run_new_ops(spark, sf_dir: str) -> dict:
                      ("text_stats", P.q_text_stats),
                      ("decontaminate", P.q_decontaminate),
                      ("segment_dedup", P.q_segment_dedup),
-                     ("tfidf_top_terms", P.q_tfidf_top_terms)):
+                     ("tfidf_top_terms", P.q_tfidf_top_terms),
+                     ("train_split", P.q_train_split)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

@@ -2268,3 +2268,72 @@ SQL_TFIDF_TOP_TERMS = f"""
     FROM scored
   ) WHERE rnk <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+#: permille thresholds: [0, TRAIN) train, [TRAIN, VAL) val, rest test
+SPLIT_TRAIN_PERMILLE = 900
+SPLIT_VAL_PERMILLE = 950
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic content-hash corpus split (train/val/test
+    900/50/50 permille) — the leakage-safe way to split training
+    data: the split key is a hash of the CONTENT (so exact dups land
+    in the same split regardless of doc_id, and re-ingesting a
+    shuffled corpus reproduces the split bit-for-bit), not row
+    position or a random seed. Pure JVM expressions on a single
+    corpus scan — md5 is the cross-engine parity surface (xxhash64
+    would be the production hash, same shape); the per-split rollup
+    is one map-side-combinable hash agg."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("text").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 1000)
+    tagged = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"))
+    return (tagged.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc_id"),
+                 F.max("doc_id").alias("last_doc_id")))
+
+
+SQL_TRAIN_SPLIT = f"""
+  WITH tagged AS (
+    SELECT doc_id,
+           CASE WHEN b < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+                WHEN b < {SPLIT_VAL_PERMILLE} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT)
+               % 1000 AS b
+      FROM documents
+    )
+  )
+  SELECT split, COUNT(*) AS n_docs,
+         MIN(doc_id) AS first_doc_id,
+         MAX(doc_id) AS last_doc_id
+  FROM tagged GROUP BY split
+"""
+
+
+def assign_split(d: DataFrame) -> DataFrame:
+    """Row-level variant of ``q_train_split``: the input frame with a
+    ``split`` column appended (what a pipeline actually writes,
+    e.g. ``df.write.partitionBy("split")``)."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("text").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 1000)
+    return d.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+        .otherwise(F.lit("test")))
