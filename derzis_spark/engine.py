@@ -126,10 +126,16 @@ class CrawlEngine:
     """Round-synchronous BSP crawl over Spark DataFrames."""
 
     #: tables eligible for delta (append-snapshot) commits — the ones
-    #: whose rows only ever APPEND in the common case; resources /
-    #: domains / paths mutate statuses every round and always rewrite
+    #: whose rows only ever APPEND in the common case
     DELTA_TABLES = ("triples", "trace", "proc_triples",
                     "proc_done_resources")
+
+    #: mutable tables (statuses / clocks / counters flip in place every
+    #: round) and their primary keys — eligible for merge-on-read
+    #: UPSERT deltas: each mutation site records the (round-bounded)
+    #: touched keys, the commit writes only those rows, and readers
+    #: reconcile last-writer-wins per key (storage.load_tables)
+    MUT_KEYS = {"resources": "url", "domains": "origin", "paths": "seq"}
 
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  robots: DataFrame, config: CrawlConfig | None = None,
@@ -244,6 +250,32 @@ class CrawlEngine:
         # rewrite I/O (O(store)) actually exceeds it. Unchanged tables
         # still carry forward with zero I/O regardless of size.
         self.snapshot_delta_min_rows = 1_000_000
+        # merge-on-read upsert accounting for the MUTABLE tables: each
+        # mutation site records the keys it may have touched (bounded
+        # key DataFrames / predicates — always a SUPERSET is safe,
+        # upserting an unchanged row is a no-op), plus the exact count
+        # of INSERTED rows (every insert site knows it already), so the
+        # commit can write O(touched) rows and still publish an exact
+        # reconciled row count without an O(store) anti-join. The rare
+        # unbounded flips (error reset, endpoint conversion) mark the
+        # table rewritten and fall back to a full write.
+        self._mut_touched: dict[str, list] = {
+            t: [] for t in self.MUT_KEYS}
+        self._mut_preds: dict[str, list] = {t: [] for t in self.MUT_KEYS}
+        self._mut_rewritten: dict[str, bool] = {
+            t: False for t in self.MUT_KEYS}
+        self._mut_inserts: dict[str, int] = {t: 0 for t in self.MUT_KEYS}
+        # upsert deltas engage above this base-table size — below it a
+        # single full parquet write is cheaper than the chain's fixed
+        # per-commit and per-read (reconcile) costs. Measured at bench
+        # scale (BENCH/snapshot_ab_r5.json): forced upserts already win
+        # at ~50k-row tables, so the gate sits well under the append
+        # tables' 1M gate
+        self.snapshot_upsert_min_rows = 20_000
+        #: test hook: after every upsert commit, reload the reconciled
+        #: tables and assert exact equality with the in-memory truth
+        #: (catches any mutation site missing its _touch_* call)
+        self.snapshot_validate_upserts = False
 
     @property
     def trace(self) -> DataFrame:
@@ -381,11 +413,39 @@ class CrawlEngine:
         post-commit reload)."""
         self._append_deltas = {t: [] for t in self.DELTA_TABLES}
         self._append_rewritten = {t: False for t in self.DELTA_TABLES}
+        self._mut_touched = {t: [] for t in self.MUT_KEYS}
+        self._mut_preds = {t: [] for t in self.MUT_KEYS}
+        self._mut_rewritten = {t: False for t in self.MUT_KEYS}
+        self._mut_inserts = {t: 0 for t in self.MUT_KEYS}
+
+    def _touch_keys(self, table: str, col: str, keys: DataFrame) -> None:
+        """Record that rows of ``table`` whose ``col`` is in ``keys``
+        may have changed since the last snapshot (merge-on-read upsert
+        tracking). ``keys`` must be round-bounded; supersets are safe."""
+        if self.store:
+            self._mut_touched[table].append((col, keys))
+
+    def _touch_pred(self, table: str, pred) -> None:
+        """Predicate form of ``_touch_keys`` — used for inserts whose
+        key frames would re-execute heavy cascade plans (paths created
+        this round are exactly ``created_round == rnd``)."""
+        if self.store:
+            self._mut_preds[table].append(pred)
+
+    def _touch_all(self, table: str) -> None:
+        """Unbounded mutation (error reset, endpoint conversion): the
+        next commit must rewrite ``table`` in full."""
+        self._mut_rewritten[table] = True
+
+    def _note_insert(self, table: str, n: int) -> None:
+        """Exact count of rows APPENDED (guaranteed-new keys) since the
+        last commit — keeps the upsert manifest's reconciled row count
+        exact without an O(store) anti-join at commit time."""
+        self._mut_inserts[table] += n
 
     def _commit(self, metrics: dict) -> None:
-        full = {
-            # these mutate in place every round (statuses, clocks,
-            # frontier flips) — always a full rewrite
+        full: dict[str, DataFrame] = {}
+        cur_mut = {
             "resources": self.resources,
             "domains": self.domains,
             "paths": self.paths,
@@ -413,6 +473,49 @@ class CrawlEngine:
         prev_rnd = self.store.latest_round()
         prev = self.store.read_manifest(prev_rnd) \
             if prev_rnd is not None else None
+        # mutable tables take merge-on-read UPSERT deltas: write the
+        # full new row for every key a mutation site touched this
+        # round (O(round), not O(store)); readers reconcile
+        # last-writer-wins per key. Fall back to a full rewrite on the
+        # unbounded flips, at compaction, below the size gate, or on
+        # the first commit — the exact mirror of the append gating.
+        upserts: dict[str, tuple] = {}
+        for name, key in self.MUT_KEYS.items():
+            pinfo = (prev or {}).get("tables", {}).get(name)
+            chain = len(self.store.table_paths(pinfo)) if pinfo else 0
+            small = ((pinfo or {}).get("rows", 0)
+                     < self.snapshot_upsert_min_rows)
+            if (pinfo is None or self._mut_rewritten[name]
+                    or chain >= self.snapshot_compact_chain or small):
+                full[name] = cur_mut[name]
+                continue
+            parts: list[DataFrame] = []
+            by_col: dict[str, list[DataFrame]] = {}
+            for col, kdf in self._mut_touched[name]:
+                by_col.setdefault(col, []).append(kdf.select(col))
+            for col, kdfs in by_col.items():
+                keys = kdfs[0]
+                for extra in kdfs[1:]:
+                    keys = keys.unionByName(extra)
+                # round-bounded right side: AQE turns this into a
+                # broadcast semi-join, so the table scans once with a
+                # probe — no store-sized shuffle at commit time
+                parts.append(cur_mut[name].join(
+                    keys.distinct(), col, "left_semi"))
+            for pred in self._mut_preds[name]:
+                parts.append(cur_mut[name].filter(pred))
+            if parts:
+                delta = parts[0]
+                for extra in parts[1:]:
+                    delta = delta.unionByName(extra)
+                # overlapping touched sets duplicate rows, never
+                # conflicting values (all parts project the same
+                # table) — any survivor per key is the row
+                delta = delta.dropDuplicates([key])
+            else:
+                delta = cur_mut[name].limit(0)  # carry forward
+            upserts[name] = (
+                delta, key, pinfo["rows"] + self._mut_inserts[name])
         deltas: dict[str, DataFrame] = {}
         for name in self.DELTA_TABLES:
             pinfo = (prev or {}).get("tables", {}).get(name)
@@ -442,6 +545,7 @@ class CrawlEngine:
             metrics, self.seq_counter,
             steps=self._step_log,
             deltas=deltas,
+            upserts=upserts,
             prev_manifest=prev,
             # Iceberg bucket(n, key)-style hash partitioning for the
             # big tables (north rule: salted domain/url-hash-partitioned
@@ -454,6 +558,26 @@ class CrawlEngine:
         )
         self._flush_bloom()
         tables = self.store.load_tables(self.spark, self.round)
+        if self.snapshot_validate_upserts and upserts:
+            # test hook: the reconciled read surface must equal the
+            # in-memory truth bit-for-bit — catches any mutation site
+            # that forgot its _touch_* call (a missed touch is silent
+            # corruption; a superset touch is merely redundant I/O)
+            from pyspark.sql.types import MapType
+
+            def _cmp_form(df: DataFrame) -> DataFrame:
+                # exceptAll rejects MAP columns; entries arrays compare
+                # fine and identical rows keep identical entry order
+                return df.select(*[
+                    F.map_entries(f.name).alias(f.name)
+                    if isinstance(f.dataType, MapType) else f.name
+                    for f in df.schema.fields])
+
+            for name in upserts:
+                mem, got = _cmp_form(cur_mut[name]), _cmp_form(tables[name])
+                assert got.exceptAll(mem).count() == 0 \
+                    and mem.exceptAll(got).count() == 0, \
+                    f"upsert reconcile diverged for {name}"
         self.resources = tables["resources"]
         self.domains = tables["domains"]
         self.paths = tables["paths"]
@@ -606,8 +730,10 @@ class CrawlEngine:
                              self.round, self.seq_counter, None))
                 self.seq_counter += 1
         if rows:
-            self.paths = self.paths.unionByName(
-                self.spark.createDataFrame(rows, schemas.PATHS))
+            seed_df = self.spark.createDataFrame(rows, schemas.PATHS)
+            self.paths = self.paths.unionByName(seed_df)
+            self._touch_keys("paths", "seq", seed_df)
+            self._note_insert("paths", len(rows))
         return seed_urls
 
     def reset_errored_states(self) -> None:
@@ -617,6 +743,9 @@ class CrawlEngine:
         No URL leaves the seen-set, so the Bloom filter stays exact —
         true deletion semantics would swap in the CuckooFilter
         (operators/seen_set.py), which supports removal."""
+        # the errored set is unbounded (O(store) in the worst case) —
+        # the next snapshot rewrites these tables in full
+        self._touch_all("resources")
         self.resources = self.resources.withColumn(
             "status",
             F.when(F.col("status") == "error", F.lit("unvisited"))
@@ -626,6 +755,7 @@ class CrawlEngine:
         # column transform — a 10^8-domain dimension never materializes
         n_err = self.domains.filter(F.col("status") == "error").count()
         if n_err:
+            self._touch_all("domains")
             is_err = F.col("status") == "error"
             self.domains = self.domains.select(
                 "origin",
@@ -816,6 +946,9 @@ class CrawlEngine:
         n_checked = updates.count()
         if n_checked:
             self._unvisited_domains -= n_checked
+            # checked origins are schedule-bounded; `updates` is
+            # checkpointed, so the commit-time key probe is free
+            self._touch_keys("domains", "origin", updates)
             self.domains = (
                 self.domains.join(
                     self._maybe_bcast(updates, n_checked),
@@ -871,6 +1004,7 @@ class CrawlEngine:
         $inc warnings.* / $push lastWarnings $slice:-10). ``wdf``:
         (origin, w_inc map, lw_new array); broadcast hint gated on
         ``n_rows`` (a mega-round's warning set shuffles instead)."""
+        self._touch_keys("domains", "origin", wdf)
         d = self.domains.join(self._maybe_bcast(wdf, n_rows),
                               "origin", "left")
         inc = F.coalesce(
@@ -1446,6 +1580,9 @@ class CrawlEngine:
         if n == 0:
             return 0
         self.resources = self.resources.unionByName(new_res)
+        # anti-joined above ⇒ every new_res key is guaranteed new
+        self._touch_keys("resources", "url", new_res)
+        self._note_insert("resources", n)
         self._pending_bloom.append(new_res)
         # new-origin detection. Fast path (dimension under
         # origin_set_limit): the batch's distinct origins — a collect
@@ -1471,11 +1608,13 @@ class CrawlEngine:
                 self._known_origins = None
         if new_origins is not None:
             if new_origins:
-                self.domains = self.domains.unionByName(
-                    self.spark.createDataFrame(
-                        [(o, "unvisited", None, "",
-                          self.cfg.default_crawl_delay, 0, {}, [])
-                         for o in new_origins], schemas.DOMAINS))
+                dom_rows = self.spark.createDataFrame(
+                    [(o, "unvisited", None, "",
+                      self.cfg.default_crawl_delay, 0, {}, [])
+                     for o in new_origins], schemas.DOMAINS)
+                self.domains = self.domains.unionByName(dom_rows)
+                self._touch_keys("domains", "origin", dom_rows)
+                self._note_insert("domains", len(new_origins))
                 if self._known_origins is not None:
                     self._known_origins.update(new_origins)
                 self._unvisited_domains += len(new_origins)
@@ -1499,6 +1638,8 @@ class CrawlEngine:
                      .alias("warnings"),
                     F.expr("cast(array() as array<string>)")
                      .alias("last_warnings")))
+                self._touch_keys("domains", "origin", new_dom)
+                self._note_insert("domains", n_new_org)
                 self._unvisited_domains += n_new_org
                 self._n_domains += n_new_org
         iprof["origin_s"] = round(_time.time() - _p0, 2)
@@ -1709,6 +1850,8 @@ class CrawlEngine:
         engine continues under endpoint semantics."""
         from dataclasses import replace as dc_replace
 
+        # every active traversal row flips — unbounded; full rewrite
+        self._touch_all("paths")
         trav = self.paths.filter(
             (F.col("status") == "active") & F.col("seed_paths").isNull())
 
@@ -1819,6 +1962,20 @@ class CrawlEngine:
         total = 0
         proc_keys: DataFrame | None = None
         pending_heads: list[DataFrame] = []
+        # merge-on-read touched keys: every row this cascade can change
+        # is either (a) a parent — its head_url is in the wave-1 done
+        # set or a later wave's probe set, (b) a min-merged endpoint
+        # row — its head_url is in a wave's upd_df head set, or (c) a
+        # row created this round (created_round == rnd). All bounded;
+        # head-level supersets are safe (unchanged rows upsert as
+        # no-ops)
+        if isinstance(fetched_done, DataFrame):
+            hd0 = fetched_done.select("head_url")
+        else:
+            hd0 = self.spark.createDataFrame(
+                [(u,) for u in fetched_done], "head_url string")
+        self._touch_keys("paths", "head_url", hd0)
+        self._touch_pred("paths", F.col("created_round") == F.lit(rnd))
         parents = _semi_filter(
             self.spark,
             self.paths.filter(
@@ -2038,6 +2195,9 @@ class CrawlEngine:
             upd_df = url_info.select(
                 F.col("gkey").alias("head_url"),
                 F.col("dist").alias("new_dist"), "new_map")
+            # checkpoint-anchored (url_info) — free to re-probe at
+            # commit time
+            self._touch_keys("paths", "head_url", upd_df)
             # fat rows (per-seed new_map) — gate on the tighter wave
             # limit like the other map/array-bearing sides, not the
             # generic key limit (many seeds ⇒ wide maps)
@@ -2097,6 +2257,7 @@ class CrawlEngine:
             if new_paths is not None:
                 self.paths = self.paths.unionByName(new_paths)
             total += n_new + n_lit_heads
+            self._note_insert("paths", n_new + n_lit_heads)
             # unseen heads register as resources ONCE per cascade (see
             # _extend's wave note: heads reached through the edge view
             # were already discovered in their triple's round, so the
@@ -2120,6 +2281,9 @@ class CrawlEngine:
                 n_next = probe.count()
             if n_next == 0:
                 break
+            # next wave's parents (deleted when they extend) live at
+            # these heads — checkpointed, so the commit probe is free
+            self._touch_keys("paths", "head_url", probe)
             self.paths = self.paths.localCheckpoint(eager=True)
             parents = self.paths.filter(
                 (F.col("status") == "active")
@@ -2367,6 +2531,13 @@ class CrawlEngine:
             # already deleted, so the marking applies to them too
             self.paths = mark_deleted(self.paths).unionByName(
                 mark_deleted(new_paths))
+            # merge-on-read touched keys: deleted parents by seq
+            # (ext_df is anchored on the per-wave children
+            # checkpoints), inserted children by created_round
+            self._touch_keys("paths", "seq", ext_df)
+            self._touch_pred(
+                "paths", F.col("created_round") == F.lit(rnd))
+            self._note_insert("paths", total_children)
             self._ledger_commit(proc_keys)
         return total_children
 
@@ -2594,6 +2765,7 @@ class CrawlEngine:
                     chg_df = self.spark.createDataFrame(
                         [(o, True) for o in charged],
                         "origin string, charged boolean")
+                    self._touch_keys("domains", "origin", chg_df)
                     self.domains = (
                         self.domains
                         .join(F.broadcast(chg_df), "origin", "left")
@@ -2629,6 +2801,7 @@ class CrawlEngine:
                 res_up = self.spark.createDataFrame(
                     res_rows,
                     "url string, new_status string, new_cr int, new_cc int")
+                self._touch_keys("resources", "url", res_up)
                 self.resources = (
                     self.resources.join(F.broadcast(res_up), "url", "left")
                     .withColumn("status",

@@ -85,6 +85,7 @@ class SnapshotStore:
                bucket_by: dict | None = None,
                steps: list | None = None,
                deltas: dict | None = None,
+               upserts: dict | None = None,
                prev_manifest: dict | None = None) -> dict:
         """Write ``tables`` (name → DataFrame) + manifest for round ``rnd``.
 
@@ -106,6 +107,23 @@ class SnapshotStore:
         back to a full write (``tables``) for any table whose existing
         rows changed, and should periodically compact long chains the
         same way.
+
+        ``upserts`` maps table name → ``(delta_df, merge_key,
+        reconciled_rows)`` — merge-on-read UPDATE deltas for tables
+        whose rows mutate in place (Iceberg v2 merge-on-read MERGE
+        snapshots): ``delta_df`` holds the full new row for every key
+        that may have changed since ``prev_manifest`` (unique per
+        ``merge_key``; unchanged rows may ride along — upserting an
+        identical row is a no-op), and readers reconcile per key with
+        last-writer-wins across the chain (``load_tables``). Commit
+        I/O is O(touched rows), not O(store). ``reconciled_rows`` is
+        the caller's exact post-reconcile row count (base rows + rows
+        whose key is new) — counting it here would need an O(store)
+        anti-join, and the engine already knows its insert counts.
+        For upsert chains the manifest's ``partitions`` keeps
+        describing the BASE snapshot; per-delta bucket counts append
+        to ``delta_lineage`` (which commit touched which buckets —
+        the per-partition lineage story for mutable tables).
 
         The manifest is written last — a crash mid-write leaves a
         dangling round directory that ``latest_round`` ignores, so
@@ -150,6 +168,26 @@ class SnapshotStore:
             # n == 0: carry the previous entry forward (the empty dir
             # stays unreferenced, like any dangling crash debris)
             entries[name] = entry
+        for name, (df, key, new_rows) in (upserts or {}).items():
+            prev = (prev_manifest or {}).get("tables", {}).get(name)
+            assert prev is not None, \
+                f"upsert commit for {name} needs a previous manifest"
+            path = os.path.join(rdir, name)
+            n, parts = self._write_one(
+                spark, df, path, bucket_by.get(name),
+                partition_by.get(name))
+            entry = dict(prev)
+            if n:
+                entry["paths"] = self.table_paths(prev) + [path]
+                entry.pop("path", None)
+                entry["merge_key"] = key
+                entry["rows"] = new_rows
+                entry["delta_lineage"] = list(
+                    prev.get("delta_lineage", ())) + [{
+                        "path": path, "rows": n,
+                        **({"partitions": parts}
+                           if parts is not None else {})}]
+            entries[name] = entry
         manifest = {
             "round": rnd,
             "seq_counter": seq_counter,
@@ -182,6 +220,12 @@ class SnapshotStore:
         with open(os.path.join(self._round_dir(rnd), "manifest.json")) as f:
             return json.load(f)
 
+    #: past this many total upsert-delta rows the reconcile anti-join
+    #: stops hinting a broadcast of the touched-key set and lets the
+    #: join planner (AQE) choose — a month of mega-round deltas must
+    #: not be forced through one executor's broadcast build
+    UPSERT_BCAST_LIMIT = 4_000_000
+
     def load_tables(self, spark, rnd: int) -> dict:
         manifest = self.read_manifest(rnd)
         out = {}
@@ -192,6 +236,34 @@ class SnapshotStore:
                 if BUCKET_COL in df.columns:
                     df = df.drop(BUCKET_COL)
                 dfs.append(df)
+            key = info.get("merge_key")
+            if key and len(dfs) > 1:
+                # merge-on-read reconcile: last writer wins per key.
+                # Deltas are chain-position-ranked among THEMSELVES
+                # (O(touched × chain) rows, bounded by compaction);
+                # the base never shuffles — it takes one anti-join
+                # against the touched-key set, broadcast under the
+                # size gate (delta row counts come from the manifest,
+                # no job needed), so reading a 10^10-row base with a
+                # round-sized delta costs a scan + broadcast probe
+                from pyspark.sql import functions as F
+                from pyspark.sql.window import Window
+
+                base, deltas = dfs[0], dfs[1:]
+                d = deltas[0].withColumn("_cpos", F.lit(0))
+                for i, extra in enumerate(deltas[1:], start=1):
+                    d = d.unionByName(extra.withColumn("_cpos", F.lit(i)))
+                w = Window.partitionBy(key).orderBy(F.col("_cpos").desc())
+                winner = (d.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1).drop("_rn", "_cpos"))
+                keys_df = d.select(key).distinct()
+                n_delta = sum(e["rows"]
+                              for e in info.get("delta_lineage", ()))
+                if n_delta <= self.UPSERT_BCAST_LIMIT:
+                    keys_df = F.broadcast(keys_df)
+                out[name] = (base.join(keys_df, key, "left_anti")
+                             .unionByName(winner))
+                continue
             df = dfs[0]
             for extra in dfs[1:]:
                 df = df.unionByName(extra)
