@@ -262,10 +262,9 @@ def run_fast_variants(spark, sf_dir: str) -> dict:
 
 
 def run_new_ops(spark, sf_dir: str) -> dict:
-    """Round-4 additions (simhash_near_dup, dedup_clusters,
-    winnow_fingerprint, jaccard_shingle_pairs), timed in their own
-    section and kept OUT of the headline total so round-over-round
-    suite totals stay comparable."""
+    """Round-4/5 additions, timed in their own section and kept OUT of
+    the headline total so round-over-round suite totals stay
+    comparable."""
     from derzis_spark import pipeline_queries as P
 
     out = {}
@@ -277,7 +276,12 @@ def run_new_ops(spark, sf_dir: str) -> dict:
                      ("decontaminate", P.q_decontaminate),
                      ("segment_dedup", P.q_segment_dedup),
                      ("tfidf_top_terms", P.q_tfidf_top_terms),
-                     ("train_split", P.q_train_split)):
+                     ("train_split", P.q_train_split),
+                     # round 5
+                     ("pii_scrub", P.q_pii_scrub),
+                     ("corpus_mix", P.q_corpus_mix),
+                     ("cdc_segment_dedup", P.q_cdc_segment_dedup),
+                     ("lang_id_trigram", P.q_lang_id)):
         t0 = time.time()
         fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)

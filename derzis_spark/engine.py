@@ -266,12 +266,20 @@ class CrawlEngine:
             t: False for t in self.MUT_KEYS}
         self._mut_inserts: dict[str, int] = {t: 0 for t in self.MUT_KEYS}
         # upsert deltas engage above this base-table size — below it a
-        # single full parquet write is cheaper than the chain's fixed
-        # per-commit and per-read (reconcile) costs. Measured at bench
-        # scale (BENCH/snapshot_ab_r5.json): forced upserts already win
-        # at ~50k-row tables, so the gate sits well under the append
-        # tables' 1M gate
-        self.snapshot_upsert_min_rows = 20_000
+        # single full parquet write beats the chain's fixed costs.
+        # MEASURED, twice (BENCH/snapshot_ab_r5.json crawl A/B: forced
+        # upserts cost 95 vs 68 s snapshot / 270 vs 186 s total at
+        # 20k-95k-row tables; BENCH/upsert_crossover_r5.json size
+        # sweep: full rewrite still wins at 6.4M rows — local NVMe
+        # writes ~0.08 s per million narrow rows while the chain adds
+        # ~0.3 s per delta dir at commit and ~2 s per ACTION of
+        # reconcile read at chain 8). Extrapolated crossover on this
+        # hardware ≈ tens of millions of rows per table; the default
+        # sits there. On real object storage (order-of-magnitude
+        # slower sequential writes, the Iceberg v2 regime this
+        # mechanism mirrors) the crossover drops by the same order —
+        # deployments there should lower the gate.
+        self.snapshot_upsert_min_rows = 50_000_000
         #: test hook: after every upsert commit, reload the reconciled
         #: tables and assert exact equality with the in-memory truth
         #: (catches any mutation site missing its _touch_* call)
@@ -513,7 +521,7 @@ class CrawlEngine:
                 # table) — any survivor per key is the row
                 delta = delta.dropDuplicates([key])
             else:
-                delta = cur_mut[name].limit(0)  # carry forward
+                delta = None  # known-untouched: zero-I/O carry forward
             upserts[name] = (
                 delta, key, pinfo["rows"] + self._mut_inserts[name])
         deltas: dict[str, DataFrame] = {}
@@ -532,8 +540,14 @@ class CrawlEngine:
                     or (parts and small)):
                 full[name] = compact[name]()
                 continue
-            delta = compact[name]().limit(0)  # empty: carry forward
-            for p in parts:
+            if not parts:
+                # known-empty: carry forward with zero I/O AND zero
+                # jobs (the pre-r5 empty-dir write still cost one
+                # Spark job per quiet table per round)
+                deltas[name] = None
+                continue
+            delta = parts[0]
+            for p in parts[1:]:
                 delta = delta.unionByName(p)
             if name in ("proc_triples", "proc_done_resources"):
                 # key-sorted files compress ~2× better (measured 9.0 →
@@ -866,7 +880,21 @@ class CrawlEngine:
         vectorized array UDF (matched-set membership ≡
         matches-any-pattern element-wise; empty-array behavior
         mirrors exists→False / forall→True, with the documented
-        max_path_props=0 corner unchanged)."""
+        max_path_props=0 corner unchanged).
+
+        Accepted deviation (unreachable under supported configs,
+        which require ``max_path_props >= 1``): a FULL path whose
+        predicates array is EMPTY — possible only when
+        ``max_path_props <= 0`` — under disallow-future patterns that
+        match no vocabulary word is KEPT by the fast path (its
+        empty-matched-set shortcut is ``lit(True)``) but DROPPED here
+        (``size>0 & ~all_dfu`` is False), which is the strict
+        exists-semantics answer. Likewise NULL predicate elements
+        (never produced by the parser — TRIPLES columns are non-null)
+        differ: ``isin`` drops them, the pandas matcher keeps them.
+        Both corners sit outside the engine's input domain; the
+        config sweep pins the two regimes equal everywhere inside
+        it (tests/test_config_sweep.py)."""
         def pats(kind):
             return tuple(l.predicate for l in lims if kind in l.lims)
 
@@ -982,21 +1010,6 @@ class CrawlEngine:
                          .alias("lw_new")),
                     n_err)
         return n_checked
-
-    def _merge_domain_warnings(self, wrows: list[tuple]) -> None:
-        """Merge per-origin warning increments into the domains table.
-        ``wrows``: (origin, {errType: n}, [errType in event order]) —
-        driver rows are O(round schedule), schedule-bounded (the fetch
-        phase's warnings; the robots phase passes a DataFrame via
-        ``_merge_domain_warnings_df`` instead)."""
-        if not wrows:
-            return
-        self._merge_domain_warnings_df(
-            self.spark.createDataFrame(
-                wrows,
-                "origin string, w_inc map<string,int>, "
-                "lw_new array<string>"),
-            len(wrows))
 
     def _merge_domain_warnings_df(self, wdf: DataFrame,
                                   n_rows: int) -> None:
@@ -2757,50 +2770,44 @@ class CrawlEngine:
                     trace, schemas.TRACE)
                 self._trace_df = self._trace_df.unionByName(trace_rows)
                 self._append_deltas["trace"].append(trace_rows)
+                # The round's status/clock/warning merges are all pure
+                # projections of the trace rows — derived as DataFrame
+                # algebra over trace_rows (one schedule-bounded frame),
+                # NOT driver loops: the only O(schedule) Python left in
+                # the round is the bounded trace emit itself (the
+                # round-synchronous driver contract).
+                #
                 # politeness charge: attempted fetches bump next_allowed
                 # (oracle: next_allowed = rnd + crawl_delay per access)
-                charged = sorted({
-                    t[3] for t in trace if t[4] != "error:disallowed"})
-                if charged:
-                    chg_df = self.spark.createDataFrame(
-                        [(o, True) for o in charged],
-                        "origin string, charged boolean")
-                    self._touch_keys("domains", "origin", chg_df)
-                    self.domains = (
-                        self.domains
-                        .join(F.broadcast(chg_df), "origin", "left")
-                        .withColumn(
-                            "next_allowed",
-                            F.when(F.col("charged"),
-                                   F.lit(rnd) + F.col("crawl_delay"))
-                            .otherwise(F.col("next_allowed")).cast("int"))
-                        .drop("charged"))
+                chg_df = (trace_rows
+                          .filter(F.col("status") != "error:disallowed")
+                          .select("origin").distinct()
+                          .withColumn("charged", F.lit(True)))
+                self._touch_keys("domains", "origin", chg_df)
+                self.domains = (
+                    self.domains
+                    .join(F.broadcast(chg_df), "origin", "left")
+                    .withColumn(
+                        "next_allowed",
+                        F.when(F.col("charged"),
+                               F.lit(rnd) + F.col("crawl_delay"))
+                        .otherwise(F.col("next_allowed")).cast("int"))
+                    .drop("charged"))
                 # resource status updates + crawlId stamps
                 # (Resource.ts:35-41 / Worker.ts:395-413: every
                 # scheduled resource consumes a per-domain counter
-                # BEFORE the robots gate; domainTs ≡ the round) and
-                # per-domain warning increments (Resource.ts:232-266).
-                # All driver rows here are schedule-bounded.
-                res_rows: list[tuple] = []
-                warn_by_origin: dict[str, list[str]] = {}
-                crawl_counters: dict[str, int] = {}
-                for t in trace:  # already in rseq order
-                    _, _, url, origin, status = t
-                    c = crawl_counters.get(origin, 0)
-                    crawl_counters[origin] = c + 1
-                    res_rows.append(
-                        (url, "done" if status == "done" else "error",
-                         rnd, c))
-                    if status != "done":
-                        # any unmapped error status warns E_UNKNOWN —
-                        # the oracle's fallback (Resource.ts:259-266
-                        # else branch), so adding a new error status
-                        # can never silently desync the counters
-                        et = WARN_BY_STATUS.get(status, "E_UNKNOWN")
-                        warn_by_origin.setdefault(origin, []).append(et)
-                res_up = self.spark.createDataFrame(
-                    res_rows,
-                    "url string, new_status string, new_cr int, new_cc int")
+                # BEFORE the robots gate — row_number per origin in
+                # rseq order, minus one; domainTs ≡ the round)
+                cw = Window.partitionBy("origin").orderBy("seq")
+                res_up = trace_rows.select(
+                    "url", "origin", "seq",
+                    F.when(F.col("status") == "done", F.lit("done"))
+                    .otherwise(F.lit("error")).alias("new_status"),
+                ).select(
+                    "url", "new_status",
+                    F.lit(rnd).cast("int").alias("new_cr"),
+                    (F.row_number().over(cw) - 1).cast("int")
+                    .alias("new_cc"))
                 self._touch_keys("resources", "url", res_up)
                 self.resources = (
                     self.resources.join(F.broadcast(res_up), "url", "left")
@@ -2812,9 +2819,35 @@ class CrawlEngine:
                                 F.coalesce("new_cc", "crawl_counter"))
                     .drop("new_status", "new_cr", "new_cc")
                 )
-                self._merge_domain_warnings([
-                    (o, {k: lst.count(k) for k in dict.fromkeys(lst)}, lst)
-                    for o, lst in warn_by_origin.items()])
+                # per-domain warning increments (Resource.ts:232-266):
+                # any unmapped error status warns E_UNKNOWN — the
+                # oracle's fallback (Resource.ts:259-266 else branch),
+                # so adding a new error status can never silently
+                # desync the counters. lw_new keeps event (rseq) order
+                # via sort_array over (seq, errType) structs; w_inc
+                # counts per type with first-occurrence keys irrelevant
+                # (map compare is key-based).
+                et_map = F.create_map(*[
+                    F.lit(x) for kv in sorted(WARN_BY_STATUS.items())
+                    for x in kv])
+                lw = F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "et"))),
+                    lambda s: s["et"])
+                wdf = (trace_rows.filter(F.col("status") != "done")
+                       .select("origin", "seq",
+                               F.coalesce(et_map[F.col("status")],
+                                          F.lit("E_UNKNOWN")).alias("et"))
+                       .groupBy("origin").agg(lw.alias("lw_new"))
+                       .withColumn(
+                           "w_inc",
+                           F.map_from_entries(F.transform(
+                               F.array_distinct("lw_new"),
+                               lambda e: F.struct(
+                                   e, F.size(F.filter(
+                                       "lw_new",
+                                       lambda x: x == e)))))))
+                self._merge_domain_warnings_df(
+                    wdf.select("origin", "w_inc", "lw_new"), n_sched)
                 _t1 = _time.time()
                 self._last_ingest_profile = {}
                 if quads is not None:

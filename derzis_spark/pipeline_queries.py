@@ -26,6 +26,10 @@ from derzis_spark.queries import load
 
 N_MINHASH = 8
 STOPWORDS = ("the", "a")
+#: the same list rendered for the DuckDB oracles — interpolated
+#: into SQL_QUALITY_SCORE / SQL_TEXT_STATS so editing STOPWORDS
+#: can never silently desync Spark/DuckDB parity
+_SQL_STOPWORDS = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 def _words():
@@ -1220,11 +1224,11 @@ def q_quality_score(spark, sf_dir):
         (F.size(words) >= 10).alias("passes_min_len"),
     )
 
-SQL_QUALITY_SCORE = """
+SQL_QUALITY_SCORE = f"""
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          ROUND(CAST(len(list_filter(string_split(text, ' '),
-                w -> w IN ('the', 'a'))) AS DOUBLE)
+                w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE)
                / len(string_split(text, ' ')), 6) AS stopword_ratio,
          ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                / len(string_split(text, ' ')), 6) AS avg_word_len,
@@ -1233,30 +1237,102 @@ SQL_QUALITY_SCORE = """
 """
 
 
+#: char-trigram profiles per language (the n-gram-profile method of
+#: Cavnar & Trenkle 1994 / textcat, reduced to the highest-frequency
+#: trigrams of each language — public linguistic knowledge). Scores
+#: are integer occurrence counts so Spark/DuckDB hash-parity is exact.
+#: A doc whose bounded prefix contains NO profile trigram is 'unknown'.
+LANG_TRIGRAMS = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", " an",
+           " of", "of ", " to", "to ", "ed ", " in", "ion", "ent"),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "que",
+           " qu", "ue ", "as ", "ón ", " es", "es ", "ar ", "ado"),
+    "de": ("en ", "er ", "der", "ch ", "sch", "ich", "die", "ie ",
+           "und", "ein", "ung", "gen", "ten", " un", " di", "cht"),
+    "fr": ("le ", " le", "es ", "ent", " et", "et ", " la", "les",
+           "re ", "eur", "ait", "ais", "ou ", " pa", "our", "qu'"),
+}
+for _gs in LANG_TRIGRAMS.values():
+    assert len(set(_gs)) == len(_gs), "duplicate trigram in a profile"
+#: classify on a bounded prefix: cost per doc is O(1) regardless of
+#: document size (the standard langid trick — 256 chars carry the
+#: trigram signal), so the explode below is ≤254 rows/doc at 100 TB
+LANG_ID_PREFIX = 256
+
+
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (marker-token voting) compared against the
-    declared lang tag; reports the confusion histogram."""
+    """Language-ID by char-trigram profile voting, compared against
+    the declared lang tag; reports the confusion histogram.
+
+    Shape at 100 TB: ONE corpus scan projecting a bounded trigram
+    array per doc, exploded (≤254 rows/doc) against the BROADCAST
+    profile dimension (64 rows), partial-aggregated per partition —
+    the argmax is a per-doc window over ≤4 score rows. Everything
+    JVM; no UDF, no corpus-wide shuffle beyond the doc-sized score
+    agg. Ties break (score DESC, lang ASC) so the histogram is
+    deterministic (hash-parity surface)."""
     d = load(spark, sf_dir, "documents")
-    words = _words()
-    def hits(*markers):
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
-    en = hits("the", "a", "and")
-    predicted = F.when(en > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    t = F.lower(F.substring(F.col("text"), 1, LANG_ID_PREFIX))
+    d2 = d.select("doc_id", F.col("lang").alias("declared"),
+                  t.alias("t"))
+    tris = F.when(
+        F.length("t") >= 3,
+        F.expr("transform(sequence(1, length(t) - 2),"
+               " i -> substring(t, i, 3))")
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    ex = (d2.select("doc_id", tris.alias("tris"))
+          .select("doc_id", F.explode("tris").alias("tri")))
+    prof = spark.createDataFrame(
+        [(lang, g) for lang, gs in sorted(LANG_TRIGRAMS.items())
+         for g in gs],
+        "plang string, tri string")
+    scores = (ex.join(F.broadcast(prof), "tri")
+              .groupBy("doc_id", "plang")
+              .agg(F.count("*").alias("score")))
+    best = (scores.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.desc("score"), F.asc("plang"))))
+        .filter(F.col("rn") == 1).select("doc_id", "plang"))
     return (
-        d.select(F.col("lang").alias("declared"),
-                 predicted.alias("predicted"))
+        d2.join(best, "doc_id", "left")
+        .select("declared",
+                F.coalesce("plang", F.lit("unknown")).alias("predicted"))
         .groupBy("declared", "predicted")
         .agg(F.count("*").alias("n"))
     )
 
-SQL_LANG_ID = """
-  SELECT lang AS declared,
-         CASE WHEN len(list_filter(string_split(text, ' '),
-                   w -> w IN ('the', 'a', 'and'))) > 0
-              THEN 'en' ELSE 'unknown' END AS predicted,
+_SQL_LANG_PROFILE = ",\n      ".join(
+    f"('{lang}', '{g.replace(chr(39), chr(39) * 2)}')"
+    for lang, gs in sorted(LANG_TRIGRAMS.items()) for g in gs)
+
+SQL_LANG_ID = f"""
+  WITH t AS (
+    SELECT doc_id, lang AS declared,
+           lower(substr(text, 1, {LANG_ID_PREFIX})) AS t
+    FROM documents
+  ),
+  tri AS (
+    SELECT doc_id, substr(t.t, CAST(u.i AS INTEGER), 3) AS tri
+    FROM t, UNNEST(range(1, GREATEST(length(t.t) - 1, 1))) AS u(i)
+  ),
+  prof(plang, tri) AS (VALUES
+      {_SQL_LANG_PROFILE}),
+  sc AS (
+    SELECT doc_id, plang, COUNT(*) AS score
+    FROM tri JOIN prof USING (tri) GROUP BY 1, 2
+  ),
+  best AS (
+    SELECT doc_id, plang FROM (
+      SELECT doc_id, plang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plang) AS rn
+      FROM sc) WHERE rn = 1
+  )
+  SELECT t.declared, COALESCE(b.plang, 'unknown') AS predicted,
          COUNT(*) AS n
-  FROM documents GROUP BY 1, 2
+  FROM t LEFT JOIN best b USING (doc_id)
+  GROUP BY 1, 2
 """
 
 
@@ -1365,7 +1441,7 @@ SQL_TEXT_STATS = f"""
            AS n_bpe_tokens,
          w.n_chars,
          ROUND(CAST(len(list_filter(w.w,
-                t -> t IN ('the', 'a'))) AS DOUBLE)
+                t -> t IN ({_SQL_STOPWORDS}))) AS DOUBLE)
                / len(w.w), 6) AS stopword_ratio,
          ROUND(CAST(LENGTH(w.text) - (len(w.w) - 1) AS DOUBLE)
                / len(w.w), 6) AS avg_word_len,
@@ -1415,6 +1491,11 @@ def q_decontaminate(spark, sf_dir):
     # train side stays duplicate-gram'd (no corpus-wide distinct
     # shuffle); countDistinct after the hit join dedups instead
     tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    # materialize the eval-gram derivation ONCE: without the
+    # checkpoint the gate count and the join job each re-run the
+    # eval side's shingle-explode pipeline (the dominant scan this
+    # operator's 100-TB budget counts once)
+    ev = ev.localCheckpoint(eager=True)
     ev_side = F.broadcast(ev) if ev.count() <= DECON_BCAST_LIMIT else ev
     return (tr.join(ev_side, "gm")
             .groupBy("doc_id", "eval_doc_id")
@@ -2101,7 +2182,12 @@ def q_doc_fingerprint_all(spark, sf_dir):
           .withColumn("scheme", F.lit("winnow_k8w4")))
     sg = q_segment_dedup(spark, sf_dir) \
         .withColumn("scheme", F.lit("seg16_md5"))
-    return md.unionByName(wn).unionByName(sg)
+    # round 5: content-defined chunking — the alignment-invariant
+    # passage scheme (q_cdc_segment_dedup; defined further down, so
+    # resolved lazily here)
+    cdc = q_cdc_segment_dedup(spark, sf_dir) \
+        .withColumn("scheme", F.lit("cdc_w8"))
+    return md.unionByName(wn).unionByName(sg).unionByName(cdc)
 
 SQL_DOC_FINGERPRINT_ALL = f"""
   SELECT fingerprint, group_size, min_doc_id, 'md5_whole' AS scheme
@@ -2230,6 +2316,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     idf = dfreq.select(
         "term",
         F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    # materialize once: the gate count and the join otherwise each
+    # re-run the df derivation's corpus explode+agg
+    idf = idf.localCheckpoint(eager=True)
     idf_side = F.broadcast(idf) if idf.count() <= TFIDF_BCAST_LIMIT \
         else idf
     scored = tf.join(idf_side, "term").select(
@@ -2337,3 +2426,247 @@ def assign_split(d: DataFrame) -> DataFrame:
         F.when(bucket < SPLIT_TRAIN_PERMILLE, F.lit("train"))
         .when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
         .otherwise(F.lit("test")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (round 5): every production webtext pipeline redacts
+# emails / phone numbers / IPs before training (e.g. the C4 and
+# RefinedWeb cleanup passes). Pure JVM regexp projection — ONE corpus
+# scan, no shuffle, no UDF; at 100 TB this is a map-only stage whose
+# cost is the scan itself. Patterns are deliberately in the common
+# subset of Java regex (Spark) and RE2-ish DuckDB regex so the oracle
+# is exact.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_scrub(d: DataFrame) -> DataFrame:
+    """Row-level PII redaction over a frame with (doc_id, text):
+    emails, then IPv4s, then phone numbers are replaced by typed
+    placeholder tokens, with per-doc match counts. Counts are taken
+    on the PROGRESSIVELY redacted text (each count sees exactly the
+    string its replacement ran on), so a digit run inside an email
+    can never double-count as a phone."""
+    red1 = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    red2 = F.regexp_replace(red1, PII_IPV4, "<IP>")
+    red3 = F.regexp_replace(red2, PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+         .cast("bigint").alias("n_emails"),
+        F.regexp_count(red1, F.lit(PII_IPV4))
+         .cast("bigint").alias("n_ipv4"),
+        F.regexp_count(red2, F.lit(PII_PHONE))
+         .cast("bigint").alias("n_phones"),
+        red3.alias("redacted"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over the documents table (pytest-oracle op — the
+    driver's 50-entry cap is full, same convention as
+    ``q_tfidf_top_terms``)."""
+    return pii_scrub(load(spark, sf_dir, "documents"))
+
+
+SQL_PII_SCRUB = (
+    "  SELECT doc_id,\n"
+    "         CAST(len(regexp_extract_all(text, '" + PII_EMAIL + "'))"
+    " AS BIGINT) AS n_emails,\n"
+    "         CAST(len(regexp_extract_all(r1, '" + PII_IPV4 + "'))"
+    " AS BIGINT) AS n_ipv4,\n"
+    "         CAST(len(regexp_extract_all(r2, '" + PII_PHONE + "'))"
+    " AS BIGINT) AS n_phones,\n"
+    "         regexp_replace(r2, '" + PII_PHONE + "', '<PHONE>', 'g')"
+    " AS redacted\n"
+    "  FROM (\n"
+    "    SELECT doc_id, text, r1,\n"
+    "           regexp_replace(r1, '" + PII_IPV4 + "', '<IP>', 'g') AS r2\n"
+    "    FROM (\n"
+    "      SELECT doc_id, text,\n"
+    "             regexp_replace(text, '" + PII_EMAIL + "',"
+    " '<EMAIL>', 'g') AS r1\n"
+    "      FROM documents))\n"
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing (round 5): the dataset-assembly step
+# train_split doesn't cover — deterministic per-group hash-threshold
+# sampling that hits target per-source proportions. The mix is the
+# LARGEST corpus achieving the exact target shares given what each
+# group actually has (the binding group keeps everything; every other
+# group downsamples to proportion). Selection is a pure projection +
+# filter against integer thresholds (md5 prefix, the train_split
+# parity surface): order-invariant, re-runnable, shuffle-free — at
+# 100 TB the only non-scan cost is one dimension-sized group count.
+# ---------------------------------------------------------------------------
+
+CORPUS_MIX_WEIGHTS = {
+    "en": 0.40, "es": 0.20, "de": 0.20, "fr": 0.15, "zh": 0.05}
+MIX_HASH_MOD = 1 << 24  # md5 6-hex-digit prefix domain
+
+
+def mix_rates(counts: dict, weights: dict) -> dict:
+    """Integer keep-thresholds (out of ``MIX_HASH_MOD``) per group.
+
+    total = min over weighted groups of counts[g] / weights[g] is the
+    largest mix size whose composition can match ``weights`` exactly;
+    each group's keep rate is weights[g] * total / counts[g] (1.0 for
+    the binding group). Thresholds are floored to integers HERE, once,
+    so the Spark filter and the SQL oracle share identical cutoffs —
+    groups without a weight (or without rows) get 0 (dropped)."""
+    avail = {g: counts[g] for g in weights if counts.get(g)}
+    if not avail:
+        return {g: 0 for g in weights}
+    total = min(avail[g] / weights[g] for g in avail)
+    out = {}
+    for g in weights:
+        if g not in avail:
+            out[g] = 0
+            continue
+        rate = min(1.0, weights[g] * total / avail[g])
+        out[g] = min(MIX_HASH_MOD, int(rate * MIX_HASH_MOD))
+    return out
+
+
+def _mix_hash_col():
+    # same cross-engine md5-prefix integer as train_split; keyed on
+    # doc_id (sampling identity), uniform over [0, MIX_HASH_MOD)
+    return F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+        16, 10).cast("long")
+
+
+def corpus_mix(spark, d: DataFrame, group_col: str,
+               weights: dict) -> tuple:
+    """Returns (sampled_df, thresholds). One dimension-sized count
+    job picks the thresholds; the sample itself is a broadcast-join +
+    filter projection (no corpus shuffle)."""
+    counts = {r[group_col]: r["n"] for r in
+              d.groupBy(group_col).agg(F.count("*").alias("n"))
+              .collect()}
+    thr = mix_rates(counts, weights)
+    thr_df = spark.createDataFrame(
+        [(g, t) for g, t in thr.items()], f"{group_col} string, thr long")
+    out = (d.join(F.broadcast(thr_df), group_col, "left")
+           .filter(_mix_hash_col() < F.coalesce("thr", F.lit(0)))
+           .drop("thr"))
+    return out, thr
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Weighted mix of the documents table by declared lang (pytest-
+    oracle op). Output = the kept rows' identities, so the oracle
+    checks the exact selection, not just the counts."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out, _ = corpus_mix(spark, d, "lang", CORPUS_MIX_WEIGHTS)
+    return out.select("doc_id", "lang")
+
+
+def sql_corpus_mix(thresholds: dict) -> str:
+    """DuckDB oracle for ``q_corpus_mix`` given the SAME integer
+    thresholds (computed once by ``mix_rates`` — data-dependent, so
+    the SQL is generated, mirroring how a warehouse would template
+    the sampling predicate)."""
+    cases = "\n".join(
+        f"           WHEN lang = '{g}' THEN {t}"
+        for g, t in sorted(thresholds.items()))
+    return f"""
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                AS BIGINT) AS h,
+           CASE
+{cases}
+           ELSE 0 END AS thr
+    FROM documents)
+  WHERE h < thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined segment dedup (round 5): the overlap-proof variant
+# of q_segment_dedup. Fixed segmentation misses a duplicated passage
+# that straddles a segment boundary (and fixed-stride OVERLAPPING
+# windows only catch alignments on the stride grid); content-defined
+# chunking cuts at words whose hash hits a modulus, so identical
+# passages produce identical interior chunks at ANY offset — the CDC
+# idea rsync/LBFS-style dedup is built on, applied at word grain.
+# Still one projection + one explode + one map-side-combinable hash
+# agg: the chunking itself is pure array algebra inside the row, so
+# the 100-TB cost profile is identical to q_segment_dedup.
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 8  # expected chunk length in words (boundary probability 1/8)
+
+
+def q_cdc_segment_dedup(spark, sf_dir):
+    """Alignment-invariant passage dedup: chunk boundaries at words
+    whose md5-prefix ≡ 0 (mod CDC_MOD), chunks hashed and grouped
+    corpus-wide. A shared passage ≥ ~2·CDC_MOD words contains shared
+    interior boundaries, so its interior chunks collide regardless of
+    where the passage sits in each document."""
+    d = load(spark, sf_dir, "documents")
+    w = _words()
+    d2 = d.select("doc_id", w.alias("w"), F.size(w).alias("L"))
+    is_cut = lambda word: (
+        F.conv(F.substring(F.md5(word.cast("binary")), 1, 4), 16, 10)
+        .cast("long") % CDC_MOD == 0)
+    bnd = F.when(
+        F.col("L") >= 2,
+        F.filter(F.sequence(F.lit(2), F.col("L")),
+                 lambda i: is_cut(F.element_at("w", i)))
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    d3 = d2.select("doc_id", "w", "L", bnd.alias("bnd"))
+    starts = F.concat(F.array(F.lit(1)), F.col("bnd"))
+    ends = F.concat(F.col("bnd"), F.array(F.col("L") + 1))
+    chunks = F.zip_with(
+        starts, ends,
+        lambda s, e: F.array_join(F.slice("w", s, e - s), " "))
+    return (
+        d3.filter(F.col("L") > 0)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .withColumn("fingerprint", F.md5(F.col("chunk").cast("binary")))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("group_size"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+SQL_CDC_SEGMENT_DEDUP = f"""
+  SELECT fingerprint, COUNT(*) AS group_size, MIN(doc_id) AS min_doc_id
+  FROM (
+    SELECT d.doc_id,
+           md5(array_to_string(
+             d.w[d.starts[t.j] : d.ends[t.j] - 1], ' ')) AS fingerprint
+    FROM (
+      SELECT doc_id, w,
+             list_concat([1], bnd) AS starts,
+             list_concat(bnd, [len(w) + 1]) AS ends
+      FROM (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 2 THEN
+                 list_filter(range(2, len(w) + 1), i ->
+                   CAST(('0x' || substring(md5(w[i]), 1, 4)) AS BIGINT)
+                   % {CDC_MOD} = 0)
+               ELSE [] END AS bnd
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents)
+      ) WHERE len(w) > 0
+    ) d, UNNEST(range(1, len(d.starts) + 1)) AS t(j)
+  ) GROUP BY 1
+"""
+
+# extend the doc_fingerprint driver union's oracle with the cdc_w8
+# scheme (appended here because SQL_CDC_SEGMENT_DEDUP is defined
+# after SQL_DOC_FINGERPRINT_ALL; the Spark side resolves the
+# function lazily at call time)
+SQL_DOC_FINGERPRINT_ALL = SQL_DOC_FINGERPRINT_ALL + f"""
+  UNION ALL
+  SELECT fingerprint, group_size, min_doc_id, 'cdc_w8' AS scheme
+  FROM ({SQL_CDC_SEGMENT_DEDUP})
+"""

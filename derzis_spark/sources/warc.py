@@ -219,6 +219,16 @@ def _open_warc(path: str) -> io.BufferedIOBase:
 # Spark reader
 # ---------------------------------------------------------------------------
 
+def _int_conf(spark: SparkSession, key: str) -> int:
+    """Read an int Spark conf defensively: some platforms set values
+    like ``auto`` for shuffle partitions — fall back to the cluster's
+    default parallelism instead of raising before any work runs."""
+    try:
+        return int(spark.conf.get(key))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def read_warc(spark: SparkSession, paths: str | list[str],
               parallelism: int | None = None,
               batch_rows: int = 1024) -> DataFrame:
@@ -237,7 +247,7 @@ def read_warc(spark: SparkSession, paths: str | list[str],
     if parallelism is None:
         parallelism = max(1, min(
             len(file_list),
-            int(spark.conf.get("spark.sql.shuffle.partitions"))))
+            _int_conf(spark, "spark.sql.shuffle.partitions")))
     pdf = spark.createDataFrame(
         [(p,) for p in file_list], "path string")
     # spread files round-robin across tasks (files vary wildly in
@@ -280,7 +290,15 @@ def write_warc_df(df: DataFrame, out_dir: str,
     (warc_file, n_records) frame is the write manifest, one row per
     produced file. Partition the input by whatever sharding the
     archive should have (e.g. ``df.repartition(k, "url")``) before
-    calling."""
+    calling.
+
+    Filesystem note (applies to ``read_warc`` too): this connector
+    writes/reads through plain ``open()``/``glob`` on the executors
+    and ``os.makedirs`` on the driver — it assumes a filesystem
+    shared by driver and executors (local mode, NFS, or a FUSE mount
+    of object storage). Everything else in the repo reads through
+    Spark's Hadoop FS layer; point this connector at a mounted path
+    on a real cluster."""
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip_per_record else ".warc"
 
@@ -293,7 +311,10 @@ def write_warc_df(df: DataFrame, out_dir: str,
         n = 0
         it = (
             (r.url, None if pd.isna(r.warc_ts) else
-             r.warc_ts.to_pydatetime(), bytes(r.html))
+             r.warc_ts.to_pydatetime(),
+             # null html → empty body, matching write_warc's own
+             # None handling (bytes(None) raises)
+             b"" if r.html is None else bytes(r.html))
             for pb in batches
             for r in pb.itertuples(index=False))
         n = write_warc(it, path, gzip_per_record=gzip_per_record)

@@ -46,11 +46,19 @@ class SnapshotStore:
 
     def _write_one(self, spark, df, path: str, spec, partition_cols):
         """Write one parquet dir (bucketed when ``spec``); returns
-        (row_count, per-bucket counts or None)."""
+        (row_count, per-bucket counts or None).
+
+        Counts ride the WRITE job via the Observation API (a
+        CollectMetrics node over the written rows: one total count
+        plus one conditional count per bucket) — the pre-r5 read-back
+        scan cost an extra O(table) read per table per commit, which
+        for full rewrites doubled the commit's store I/O."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         writer_df = df
         cols = list(partition_cols or [])
+        n_buckets = 0
         if spec:
             key_col, n_buckets = spec
             writer_df = df.withColumn(
@@ -58,27 +66,29 @@ class SnapshotStore:
                 F.pmod(F.xxhash64(F.col(key_col)),
                        F.lit(n_buckets)).cast("int"))
             cols = [BUCKET_COL] + cols
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")] + [
+            F.count(F.when(F.col(BUCKET_COL) == i, 1)).alias(f"b{i}")
+            for i in range(n_buckets)]
+        writer_df = writer_df.observe(obs, *metrics)
         writer = writer_df.write.mode("overwrite")
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(path)
-        try:
-            back = spark.read.parquet(path)
-        except Exception:
+        got = obs.get
+        n = got["n"]
+        if n == 0 and cols:
             # an empty partitioned write leaves no data files to
             # infer a schema from — rewrite flat (still empty), but
             # keep the bucket METADATA (empty partition map) so a
             # later delta can still chain lineage off this base
             df.write.mode("overwrite").parquet(path)
-            back = spark.read.parquet(path)
-            if spec:
-                return back.count(), {}
-            spec = None
+            return 0, ({} if spec else None)
         if spec:
-            pc = {int(r[BUCKET_COL]): r["count"]
-                  for r in back.groupBy(BUCKET_COL).count().collect()}
-            return sum(pc.values()), {str(k): pc[k] for k in sorted(pc)}
-        return back.count(), None
+            pc = {i: got[f"b{i}"] for i in range(n_buckets)
+                  if got[f"b{i}"]}
+            return n, {str(k): pc[k] for k in sorted(pc)}
+        return n, None
 
     def commit(self, spark, rnd: int, tables: dict, metrics: dict,
                seq_counter: int, partition_by: dict | None = None,
@@ -150,6 +160,12 @@ class SnapshotStore:
             prev = (prev_manifest or {}).get("tables", {}).get(name)
             assert prev is not None, \
                 f"delta commit for {name} needs a previous manifest"
+            if df is None:
+                # caller knows the table gained nothing: carry the
+                # previous entry forward with zero I/O AND zero jobs
+                # (a known-empty write still costs a Spark job)
+                entries[name] = dict(prev)
+                continue
             path = os.path.join(rdir, name)
             n, parts = self._write_one(
                 spark, df, path, bucket_by.get(name),
@@ -172,6 +188,9 @@ class SnapshotStore:
             prev = (prev_manifest or {}).get("tables", {}).get(name)
             assert prev is not None, \
                 f"upsert commit for {name} needs a previous manifest"
+            if df is None:  # known-untouched: zero I/O, zero jobs
+                entries[name] = dict(prev)
+                continue
             path = os.path.join(rdir, name)
             n, parts = self._write_one(
                 spark, df, path, bucket_by.get(name),

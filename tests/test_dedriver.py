@@ -228,3 +228,49 @@ def test_insert_new_urls_distributed_above_origin_gate(spark, monkeypatch):
     assert engine._unvisited_domains == unvisited_before + n_new_origins
     # inserting the same batch again is a no-op
     assert engine._insert_new_urls(batch) == 0
+
+
+@pytest.mark.slow
+def test_round_builds_no_derived_driver_rows(spark, monkeypatch):
+    """VERDICT r4 #5 (closed in r5): the round's status/clock/warning
+    merges (res_up, chg_df, warning aggregates) are DataFrame algebra
+    over the trace frame — no driver loop may rebuild them as Python
+    row lists. Spy on createDataFrame: every schedule-sized row list
+    the round ships to the cluster must be one of the ROUTING frames
+    of the collected schedule (the trace emit itself, the fetch join's
+    url routing, the cache-probe/head lists) — never a derived
+    update-row list (their schemas would show up here and fail)."""
+    from derzis_spark import schemas
+    from pyspark.sql import SparkSession
+
+    fx = generate_fixture(n_pages=400, n_origins=8, n_seeds=6, seed=42,
+                          out_links=8)
+    # politeness spreads the frontier over rounds: the schedule only
+    # exceeds COLLECT_CAP from round ~4 on, so run 8 rounds
+    cfg = CrawlConfig(max_path_length=4, max_path_props=3,
+                      resources_per_domain=4, max_rounds=8)
+    pages, robots, seeds = fixture_dataframes(spark, fx)
+    engine = CrawlEngine(spark, pages, robots, cfg)
+
+    big_calls: list[tuple[int, str]] = []
+    orig = SparkSession.createDataFrame
+
+    def spy(self, data, schema=None, **kw):
+        if isinstance(data, list) and len(data) > COLLECT_CAP:
+            big_calls.append((len(data), str(schema)))
+        if schema is None:
+            return orig(self, data, **kw)
+        return orig(self, data, schema, **kw)
+
+    monkeypatch.setattr(SparkSession, "createDataFrame", spy)
+    engine.run(seeds, max_rounds=8)
+    allowed = (
+        str(schemas.TRACE),                     # the bounded trace emit
+        "url string, origin string, rseq int",  # fetch join routing
+        "url string",                           # cache-probe routing
+        "source string",                        # cache-hit routing
+        "head_url string",                      # cascade head routing
+    )
+    assert big_calls, "fixture produced no schedule-sized frames"
+    bad = [c for c in big_calls if c[1] not in allowed]
+    assert not bad, bad
