@@ -333,6 +333,12 @@ def run_ab(ref_commit: str, pairs: int) -> None:
             "crawl_ratio": round(
                 res["cur"]["crawl"]["urls_per_sec"]
                 / res["ref"]["crawl"]["urls_per_sec"], 3),
+            # store-ON crawl (both sides' default bench runs it)
+            "crawl_snapshot_ratio": round(
+                res["cur"]["crawl_snapshot"]["urls_per_sec"]
+                / res["ref"]["crawl_snapshot"]["urls_per_sec"], 3)
+            if "crawl_snapshot" in res["ref"]
+            and "crawl_snapshot" in res["cur"] else None,
             "query_ratios": {
                 q: round(res["cur"]["queries"][q]
                          / res["ref"]["queries"][q], 3)
@@ -346,6 +352,11 @@ def run_ab(ref_commit: str, pairs: int) -> None:
             p["suite_ratio"] for p in pair_rows), 3),
         "crawl_ups_ratio_median": round(statistics.median(
             p["crawl_ratio"] for p in pair_rows), 3),
+        "crawl_snapshot_ups_ratio_median": round(statistics.median(
+            p["crawl_snapshot_ratio"] for p in pair_rows
+            if p["crawl_snapshot_ratio"] is not None), 3)
+        if any(p["crawl_snapshot_ratio"] is not None
+               for p in pair_rows) else None,
         "query_ratio_medians": {
             q: round(statistics.median(
                 p["query_ratios"][q] for p in pair_rows
