@@ -491,8 +491,16 @@ class CrawlEngine:
         for name, key in self.MUT_KEYS.items():
             pinfo = (prev or {}).get("tables", {}).get(name)
             chain = len(self.store.table_paths(pinfo)) if pinfo else 0
-            small = ((pinfo or {}).get("rows", 0)
-                     < self.snapshot_upsert_min_rows)
+            # the size gate only applies when the round actually
+            # touched the table: an untouched table carries forward
+            # with zero I/O whatever its size (mirrors the append
+            # gate's `parts and small` — rewriting an unchanged table
+            # in full because it is *small* was pure waste)
+            touched = bool(self._mut_touched[name]
+                           or self._mut_preds[name]
+                           or self._mut_inserts[name])
+            small = touched and ((pinfo or {}).get("rows", 0)
+                                 < self.snapshot_upsert_min_rows)
             if (pinfo is None or self._mut_rewritten[name]
                     or chain >= self.snapshot_compact_chain or small):
                 full[name] = cur_mut[name]
@@ -678,8 +686,8 @@ class CrawlEngine:
                 .join(self.resources.filter(F.col("status") == "done")
                       .select(F.col("url").alias("head_url")),
                       "head_url", "left_semi")
-                .localCheckpoint(eager=True))
-            if done_heads.count():
+                .localCheckpoint(eager=False))
+            if done_heads.count():  # materializes the lazy checkpoint
                 if self.cfg.path_type == "endpoint":
                     self._extend_endpoint(self.round, done_heads)
                 else:
@@ -970,8 +978,8 @@ class CrawlEngine:
             .otherwise(F.lit(rnd) + F.col("new_crawl_delay")),
         )
         # one materialization job; only counts cross to the driver
-        updates = updates.localCheckpoint(eager=True)
-        n_checked = updates.count()
+        updates = updates.localCheckpoint(eager=False)
+        n_checked = updates.count()  # one job: materialize + count
         if n_checked:
             self._unvisited_domains -= n_checked
             # checked origins are schedule-bounded; `updates` is
@@ -1144,7 +1152,7 @@ class CrawlEngine:
                     # ride into the exact semi-join below
                     att_urls = att_urls.filter(
                         self._source_bloom.might_contain(F.col("url"))
-                    ).localCheckpoint(eager=True)
+                    ).localCheckpoint(eager=False)
                     n_maybe_hit = att_urls.count()
                 else:
                     n_maybe_hit = len(attempted)
@@ -1387,8 +1395,8 @@ class CrawlEngine:
         _p0 = _time.time()
         nt = quads.groupBy(*key).agg(
             F.sort_array(F.collect_set("source")).alias("sources")
-        ).localCheckpoint(eager=True)  # one job, O(round's new keys)
-        n_new = nt.count()  # cheap: counts the checkpointed partitions
+        ).localCheckpoint(eager=False)  # O(round's new keys)
+        n_new = nt.count()  # ONE job: materialize the checkpoint + count
         prof["dedup_s"] = round(_time.time() - _p0, 2)
         prof["n_new_keys"] = n_new
         _p0 = _time.time()
@@ -1410,7 +1418,7 @@ class CrawlEngine:
             # False positives just ride into the exact semi-join below
             nt_keys = nt_keys.filter(
                 self._triple_bloom.might_contain(*key)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             n_probe = nt_keys.count()
             prof["n_maybe_coll"] = n_probe
         if n_probe == 0:
@@ -1421,7 +1429,7 @@ class CrawlEngine:
                 self._maybe_bcast(nt_keys, n_probe),
                 nullsafe_cond(self.triples, nt_keys),
                 "left_semi"
-            ).localCheckpoint(eager=True)  # the MERGE target scan
+            ).localCheckpoint(eager=False)  # the MERGE target scan
             n_coll = coll_keys.count()
         prof["coll_scan_s"] = round(_time.time() - _p0, 2)
         prof["n_coll"] = n_coll
@@ -1493,27 +1501,27 @@ class CrawlEngine:
                        quads.filter(F.col("object_kind") == "uri")
                        .select(F.col("object_value").alias("node")))
                    .filter(~F.col("node").startswith("_:"))
-                   .distinct().localCheckpoint(eager=True))
+                   .distinct().localCheckpoint(eager=False))
             n_raw = raw.count()
             _stages["scan_distinct_s"] = round(_time.time() - _s0, 2)
             _s0 = _time.time()
             canon = (raw.select(co.alias("co"))
                      .filter(F.col("co.url").isNotNull())
                      .select("co.url", "co.origin").distinct()
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=False))
             n_canon = canon.count()
             _stages["canon_s"] = round(_time.time() - _s0, 2)
             _s0 = _time.time()
             if self._bloom is not None:
                 probed = canon.withColumn(
                     "_m", self._bloom.might_contain(F.col("url"))
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
                 n_maybe = probed.filter(F.col("_m")).count()
                 _stages["probe_s"] = round(_time.time() - _s0, 2)
                 _s0 = _time.time()
                 anti = (probed.filter(F.col("_m")).drop("_m")
                         .join(self.resources.select("url"), "url",
-                              "left_anti").localCheckpoint(eager=True))
+                              "left_anti").localCheckpoint(eager=False))
                 anti.count()
                 _stages["anti_s"] = round(_time.time() - _s0, 2)
                 _stages["n_maybe"] = n_maybe
@@ -1586,7 +1594,7 @@ class CrawlEngine:
         # one materialization job tells us whether anything is new (the
         # common wave case is an empty insert — it pays one job either
         # way); counts on the checkpointed partitions are ~free
-        new_res = new_res.localCheckpoint(eager=True)
+        new_res = new_res.localCheckpoint(eager=False)
         n = new_res.count()
         iprof["ckpt_s"] = round(_time.time() - _p0, 2)
         _p0 = _time.time()
@@ -1636,7 +1644,7 @@ class CrawlEngine:
             new_dom = (
                 new_res.select("origin").distinct()
                 .join(self.domains.select("origin"), "origin", "left_anti")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
             n_new_org = new_dom.count()
             if n_new_org:
                 self.domains = self.domains.unionByName(new_dom.select(
@@ -1879,10 +1887,10 @@ class CrawlEngine:
             return dists.join(maps, "gkey")
 
         url_info = info(trav.filter(F.col("head_kind") == "url"),
-                        "head_url").localCheckpoint(eager=True)
+                        "head_url").localCheckpoint(eager=False)
         lit_info = info(trav.filter(F.col("head_kind") == "literal"),
-                        "head_key").localCheckpoint(eager=True)
-        n_url = url_info.count()
+                        "head_key").localCheckpoint(eager=False)
+        n_url = url_info.count()  # one job each: materialize + count
         n_lit = lit_info.count()
         # delete all active traversal rows, then min-merge into endpoint
         self.paths = self.paths.withColumn(
@@ -1923,7 +1931,7 @@ class CrawlEngine:
                 & (F.col("head_kind") == "url"))
             .select(F.col("head_url").alias("gkey")).distinct())
         new_url_df = url_info.join(ep_heads, "gkey", "left_anti") \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         n_new = new_url_df.count()
         new_paths = None
         if n_new:
@@ -2077,7 +2085,7 @@ class CrawlEngine:
                 blank = blank_cand.select(
                     "p_head", "p_length", "p_seeds", "parent_seq",
                     F.col("node_raw").alias("blank_id")) \
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 n_blank = blank.count()
                 out = self._maybe_bcast(
                     blank, n_blank,
@@ -2196,8 +2204,8 @@ class CrawlEngine:
                     F.coalesce("new_map",
                                F.expr("cast(map() as map<string,int>)")))
 
-            url_info = ginfo(uri, "node_c").localCheckpoint(eager=True)
-            lit_info = ginfo(lit, "node_key").localCheckpoint(eager=True)
+            url_info = ginfo(uri, "node_c").localCheckpoint(eager=False)
+            lit_info = ginfo(lit, "node_key").localCheckpoint(eager=False)
             n_url_heads = url_info.count()
             n_lit_heads = lit_info.count()
             if n_url_heads == 0 and n_lit_heads == 0:

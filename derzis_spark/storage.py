@@ -244,6 +244,12 @@ class SnapshotStore:
     #: join planner (AQE) choose — a month of mega-round deltas must
     #: not be forced through one executor's broadcast build
     UPSERT_BCAST_LIMIT = 4_000_000
+    #: much lower gate for STRING merge keys (resources/paths key on
+    #: full URLs, ~100 bytes each): 4M URL keys would be a multi-
+    #: hundred-MB explicit broadcast that bypasses Spark's size-based
+    #: gating exactly in the large-store regime upserts target; 500k
+    #: string keys ≈ 50 MB framed, safely inside executor memory
+    UPSERT_BCAST_LIMIT_STR = 500_000
 
     def load_tables(self, spark, rnd: int) -> dict:
         manifest = self.read_manifest(rnd)
@@ -278,7 +284,11 @@ class SnapshotStore:
                 keys_df = d.select(key).distinct()
                 n_delta = sum(e["rows"]
                               for e in info.get("delta_lineage", ()))
-                if n_delta <= self.UPSERT_BCAST_LIMIT:
+                from pyspark.sql.types import StringType
+                limit = (self.UPSERT_BCAST_LIMIT_STR
+                         if isinstance(d.schema[key].dataType, StringType)
+                         else self.UPSERT_BCAST_LIMIT)
+                if n_delta <= limit:
                     keys_df = F.broadcast(keys_df)
                 out[name] = (base.join(keys_df, key, "left_anti")
                              .unionByName(winner))
