@@ -2439,16 +2439,23 @@ class CrawlEngine:
             self._last_extend_profile.append(_wp)
             if n == 0:
                 break
-            # eager checkpoint (not cache): the children feed FOUR
-            # consumers (ledger keys, extended-seq marking, the frontier
-            # union, next-wave parents) — with a cache, each consumer's
-            # LOGICAL plan still embeds the whole cascade chain and the
-            # round-end paths plan grows quadratically in waves (large
-            # crawls OOM the planner's tree-string alone); the
-            # checkpoint truncates every downstream plan to one node
+            # LAZY checkpoint (not cache, not eager): the children feed
+            # FOUR consumers (ledger keys, extended-seq marking, the
+            # frontier union, next-wave parents) — with a cache, each
+            # consumer's LOGICAL plan still embeds the whole cascade
+            # chain and the round-end paths plan grows quadratically in
+            # waves (large crawls OOM the planner's tree-string alone);
+            # the checkpoint truncates every downstream plan to one
+            # node either way (the RDD is created at once, computed on
+            # first use). Lazy because the next wave's candidate count
+            # ALWAYS runs (the cascade only stops on a zero count), so
+            # the materialization folds into that job instead of paying
+            # a dedicated ~0.25 s job per wave; children derive only
+            # from the cached cand frame, so deferred computation reads
+            # identical data
             _w1 = _time.time()
             children = self._finish_children(rnd, cand, n) \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             _wp["ckpt_s"] = round(_time.time() - _w1, 2)
             # processTriples ledger (insertProcTriples,
             # process-paths.ts:874-887): every triple that extended a
