@@ -128,6 +128,64 @@ def test_spread_is_noop_at_scale_and_spreads_locally(spark):
     assert P._spread(many) is many
 
 
+def test_minhash_distinct_tokens_identity(spark):
+    """MinHash signatures over ``array_distinct`` of the token array
+    must equal signatures over the raw multiset (min is insensitive to
+    duplicates) — pinned on a repeat-heavy corpus where any multiset
+    dependence would show."""
+    import os as _os
+    import tempfile as _tf
+    rows = [
+        (0, "a b a b a b a b c", "en", "s0", 17),
+        (1, "c c c c c c b", "en", "s0", 13),
+        (2, "x y z x y z x y z", "en", "s1", 17),
+        (3, "single", "en", "s1", 6),
+    ]
+    d = _tf.mkdtemp(prefix="r6mh_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(d, "documents.parquet"))
+    for fn in (P.q_minhash_signatures, P.q_minhash64_signatures,
+               P.q_minhash64_signatures_fast):
+        got = sorted(map(tuple, fn(spark, d).collect()))
+        # reference: the pre-r6 multiset form — same aggs over the
+        # raw (non-distinct) token explode
+        from derzis_spark.queries import load
+        docs = load(spark, d, "documents")
+        raw = docs.select("doc_id", F.explode(F.split("text", " "))
+                          .alias("w"))
+        if fn is P.q_minhash_signatures:
+            aggs = [F.min(F.md5(F.concat(F.lit(str(h)), F.col("w"))
+                                .cast("binary"))).alias(f"s{h}")
+                    for h in range(P.N_MINHASH)]
+            wide = raw.groupBy("doc_id").agg(*aggs)
+            ref = wide.select(
+                "doc_id",
+                F.posexplode(F.array(
+                    *[F.col(f"s{h}") for h in range(P.N_MINHASH)]))
+                .alias("h", "sig")).select(
+                "doc_id", F.col("h").cast("long").alias("h"), "sig")
+        else:
+            bm = (P._token_base_col(F.col("w"))
+                  if fn is P.q_minhash64_signatures else
+                  F.pmod(F.xxhash64(F.col("w")), F.lit(P.MINHASH64_P)))
+            toks = raw.select("doc_id", bm.alias("bm"))
+            aggs = [F.min((F.lit(a) * F.col("bm") + F.lit(b))
+                          % F.lit(P.MINHASH64_P)).alias(f"s{i}")
+                    for i, (a, b) in enumerate(P.MINHASH64_AB)]
+            wide = toks.groupBy("doc_id").agg(*aggs)
+            ref = wide.select(
+                "doc_id",
+                F.posexplode(F.array(
+                    *[F.col(f"s{i}") for i in range(P.N_MINHASH64)]))
+                .alias("h", "sig")).select(
+                "doc_id", F.col("h").cast("int").alias("h"), "sig")
+        exp = sorted(map(tuple, ref.collect()))
+        assert got == exp, fn.__name__
+
+
 def test_tfidf_df_from_tf_identity(spark, docs_dir):
     """df(term) derived from tf must equal the explicit
     explode(array_distinct(words)) count."""
